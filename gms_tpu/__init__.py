@@ -1,0 +1,34 @@
+"""gms_tpu — a TPU-native graph-mining framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of GraphMineSuite
+(spcl/gms, PVLDB'21): set-algebra-centric graph mining — triangle counting,
+k-clique counting/listing, maximal clique enumeration (Bron-Kerbosch),
+k-clique-star listing, vertex similarity, link prediction, subgraph
+isomorphism, graph coloring — with swappable set/graph representations and
+vertex-ordering preprocessing.
+
+Design stance (TPU-first, not a port):
+  * Neighborhood "sets" are padded dense tiles (sorted int32 rows with a
+    +inf sentinel) or bitmap tiles (uint32 words), never pointer-chasing
+    structures. Set algebra operates on *batches* of set pairs at once.
+  * Recursive enumeration (Bron-Kerbosch, kClist) becomes explicit
+    work-stacks over fixed-shape masked bitsets inside `lax.while_loop`.
+  * Orderings (degeneracy / ADG / degree) are bulk array programs.
+  * Multi-chip scaling is `jax.sharding.Mesh` + `shard_map` + `psum` over
+    the edge/root work axis with replicated adjacency tables.
+
+Reference parity map: see SURVEY.md at the repo root. Each module's
+docstring cites the reference files (file:line) whose behavior it covers.
+"""
+
+__version__ = "0.1.0"
+
+from gms_tpu.graphs.csr import CSRGraph
+from gms_tpu.graphs.tiles import PaddedGraph
+from gms_tpu.graphs.bitmap import BitmapGraph
+
+__all__ = [
+    "CSRGraph",
+    "PaddedGraph",
+    "BitmapGraph",
+]
