@@ -23,6 +23,14 @@ docstring cites the reference files (file:line) whose behavior it covers.
 
 __version__ = "0.1.0"
 
+# Exact counting is a correctness requirement (SURVEY.md §7 "Exactness"):
+# pattern counts overflow int32 on large graphs, so int64 accumulators must
+# be real. All hot arrays are explicitly dtyped int32/uint32, so this does
+# not widen the data path.
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)
+
 from gms_tpu.graphs.csr import CSRGraph
 from gms_tpu.graphs.tiles import PaddedGraph
 from gms_tpu.graphs.bitmap import BitmapGraph

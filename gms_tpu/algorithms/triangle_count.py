@@ -1,0 +1,261 @@
+"""Triangle counting — the minimum end-to-end slice of the suite.
+
+Role of the reference's set-based TC
+(gms/algorithms/set_based/triangle_count/parallel/total.h:7-24 total count,
+parallel/vertex.h:14-49 per-vertex, verifier.h:13-42): for every ordered edge
+(u, v), total += |N(u) ∩ N(v)|.
+
+TPU-native design: orient the graph into a DAG first (rank[u] < rank[v]), so
+
+    triangles = Σ_{(u,v) ∈ DAG} |N⁺(u) ∩ N⁺(v)|
+
+with NO /3 correction and out-degrees bounded by the ordering. The kernel is
+edge-parallel: gather both padded neighbor rows for a *tile of edges* at once
+and run the batched masked intersection (VPU broadcast-compare) — a dense,
+fully fused XLA program. Edge tiles stream via `lax.scan` so the working set
+stays at (chunk × D_pad) regardless of graph size. Counts are exact: int32
+per edge, int64 accumulator.
+
+Reference /3 semantics note (total.h:22): the reference iterates u<v over an
+undirected graph and divides by 3. On the oriented DAG each triangle is
+counted exactly once, so the result equals the reference's output.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gms_tpu.graphs.csr import CSRGraph
+from gms_tpu.graphs.tiles import PaddedGraph, SENTINEL, round_up
+from gms_tpu.preprocessing import orient
+from gms_tpu.sets import ops
+
+DEFAULT_CHUNK = 4096
+
+# Edge-tier widths: each DAG edge is processed at the narrowest width that
+# covers both endpoint out-degrees. This is the TPU analog of the reference's
+# `omp schedule(dynamic)` skew handling (SURVEY.md §7 "Skew"): without it,
+# every edge pays the max-degree padding (O(D_pad^2) compare work); with it,
+# the bulk of edges in a power-law graph run in the narrow tiers.
+DEFAULT_TIERS = (16, 64, 256)
+
+
+def _pad_edges(edges: np.ndarray, chunk: int) -> tuple[np.ndarray, np.ndarray]:
+    """Pad edge array to a chunk multiple; padding rows marked invalid."""
+    e = len(edges)
+    ep = round_up(max(e, 1), chunk)
+    out = np.zeros((ep, 2), dtype=np.int32)
+    out[:e] = edges
+    valid = np.zeros(ep, dtype=np.int32)
+    valid[:e] = 1
+    return out, valid
+
+
+def _tier_widths(d_pad: int, tiers) -> list[int]:
+    """Ascending tier widths covering up to d_pad."""
+    ws = sorted(w for w in tiers if w < d_pad)
+    return ws + [d_pad]
+
+
+def _bucketize(deg: np.ndarray, widths) -> np.ndarray:
+    """Index of the narrowest width covering each degree."""
+    out = np.full(len(deg), len(widths) - 1, dtype=np.int8)
+    for i in reversed(range(len(widths) - 1)):
+        out[deg <= widths[i]] = i
+    return out
+
+
+def partition_edges_2d(edges: np.ndarray, outdeg: np.ndarray, widths):
+    """2-D degree tiering with smaller endpoint first.
+
+    |A ∩ B| is symmetric, so each edge is stored (small-side, large-side) and
+    bucketed by (width covering small out-degree, width covering large
+    out-degree) — the compare work per edge is wa*wb instead of d_pad^2.
+    Returns {(wa, wb): edges[K, 2]} with wa <= wb.
+    """
+    da = outdeg[edges[:, 0]]
+    db = outdeg[edges[:, 1]]
+    swap = da > db
+    e = edges.copy()
+    e[swap] = e[swap][:, ::-1]
+    lo = np.minimum(da, db)
+    hi = np.maximum(da, db)
+    bl = _bucketize(lo, widths)
+    bh = _bucketize(hi, widths)
+    parts = {}
+    for i in range(len(widths)):
+        for j in range(i, len(widths)):
+            sel = (bl == i) & (bh == j)
+            if sel.any():
+                parts[(widths[i], widths[j])] = e[sel]
+    return parts
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "method", "width_a", "width_b"))
+def count_dag_edges(nbr, edges, valid, *, chunk: int = DEFAULT_CHUNK,
+                    method: str = "compare",
+                    width_a: int | None = None, width_b: int | None = None):
+    """Σ over DAG edges of |N⁺(u) ∩ N⁺(v)| — int64 scalar.
+
+    nbr:   int32[V_pad, D_pad] oriented padded adjacency
+    edges: int32[E_pad, 2], valid: int32[E_pad]
+    width_a/width_b: static row-slice widths; tier contract is
+        outdeg(edges[:,0]) <= width_a and outdeg(edges[:,1]) <= width_b.
+    """
+    wa = min(width_a or nbr.shape[1], nbr.shape[1])
+    wb = min(width_b or nbr.shape[1], nbr.shape[1])
+    nbr_a = jax.lax.slice_in_dim(nbr, 0, wa, axis=1)
+    nbr_b = jax.lax.slice_in_dim(nbr, 0, wb, axis=1) if wb != wa else nbr_a
+    ec = edges.reshape(-1, chunk, 2)
+    vc = valid.reshape(-1, chunk)
+
+    def body(acc, xs):
+        e, v = xs
+        a = jnp.take(nbr_a, e[:, 0], axis=0)
+        b = jnp.take(nbr_b, e[:, 1], axis=0)
+        cnt = ops.intersect_count(a, b, method=method)
+        return acc + jnp.sum(cnt * v, dtype=jnp.int64), None
+
+    total, _ = jax.lax.scan(body, jnp.int64(0), (ec, vc))
+    return total
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "num_segments", "method"))
+def count_dag_edges_per_vertex(
+    nbr, edges, valid, *, chunk: int = DEFAULT_CHUNK, num_segments: int, method: str = "compare"
+):
+    """Per-vertex triangle participation counts — int32[num_segments].
+
+    Each triangle (u,v,w) found on DAG edge (u,v) with witness w increments
+    the counts of u, v, and w (reference parallel/vertex.h semantics with
+    each triangle counted once per corner).
+    """
+    ec = edges.reshape(-1, chunk, 2)
+    vc = valid.reshape(-1, chunk)
+
+    def body(acc, xs):
+        e, v = xs
+        a = jnp.take(nbr, e[:, 0], axis=0)
+        b = jnp.take(nbr, e[:, 1], axis=0)
+        m = ops.member(a, b, method=method) & (v[:, None] > 0)  # [chunk, D]
+        cnt = jnp.sum(m, axis=1, dtype=jnp.int32)
+        # endpoints u and v each get the edge's triangle count
+        acc = acc.at[e[:, 0]].add(cnt * v)
+        acc = acc.at[e[:, 1]].add(cnt * v)
+        # witnesses w get +1 where they appear in the intersection
+        w_ids = jnp.where(m, a, num_segments)  # invalid -> overflow bucket
+        acc = acc.at[w_ids.reshape(-1)].add(
+            m.reshape(-1).astype(jnp.int32), mode="drop"
+        )
+        return acc, None
+
+    acc0 = jnp.zeros(num_segments, dtype=jnp.int32)
+    out, _ = jax.lax.scan(body, acc0, (ec, vc))
+    return out
+
+
+# per-scan-step compare budget: chunk * width^2 ≈ this many compare ops
+_WORK_BUDGET = 1 << 26
+
+
+def tier_chunk(width: int) -> int:
+    return int(min(1 << 15, max(1 << 8, _WORK_BUDGET // (width * width))))
+
+
+def tier_chunk_2d(wa: int, wb: int) -> int:
+    return int(min(1 << 15, max(1 << 8, _WORK_BUDGET // (wa * wb))))
+
+
+class TrianglePlan:
+    """Prepared (oriented + padded + tiered + device-resident) TC problem.
+
+    Separates one-time graph preparation from the per-trial device kernel,
+    mirroring the reference's BenchmarkKernelBk split of "GraphExec buildTime"
+    vs trial time (common/benchmark.h:96-133).
+    """
+
+    def __init__(self, g: CSRGraph, *, rank: np.ndarray | None = None,
+                 chunk: int | None = None, method: str = "compare",
+                 tiers=DEFAULT_TIERS):
+        if rank is None:
+            rank = orient.degree_rank(g)
+        dag = orient.orient(g, rank)
+        pg = PaddedGraph.from_csr(dag)
+        self.num_edges_undirected = g.num_edges_undirected
+        self.dag = dag
+        self.padded = pg
+        self.method = method
+        widths = _tier_widths(pg.d_pad, tiers)
+        parts = partition_edges_2d(dag.edge_array(), np.asarray(dag.degrees), widths)
+        self.tiers = []
+        for (wa, wb), part in parts.items():
+            c = chunk or tier_chunk_2d(wa, wb)
+            edges, valid = _pad_edges(part, c)
+            self.tiers.append((wa, wb, c, jnp.asarray(edges), jnp.asarray(valid)))
+
+    def run_async(self):
+        """Launch all tier kernels; returns list of device scalars."""
+        return [
+            count_dag_edges(self.padded.nbr, edges, valid,
+                            chunk=c, method=self.method, width_a=wa, width_b=wb)
+            for wa, wb, c, edges, valid in self.tiers
+        ]
+
+    def run(self) -> int:
+        return sum(int(x) for x in jax.block_until_ready(self.run_async()))
+
+
+def triangle_count(
+    g: CSRGraph, *, rank: np.ndarray | None = None, chunk: int | None = None,
+    method: str = "compare", tiers=DEFAULT_TIERS,
+) -> int:
+    """End-to-end total triangle count of an undirected graph.
+
+    Edges are bucketed into degree tiers; each tier runs the batched
+    intersection at its own (static) row width and chunk size.
+    """
+    return TrianglePlan(g, rank=rank, chunk=chunk, method=method, tiers=tiers).run()
+
+
+def triangle_count_per_vertex(
+    g: CSRGraph, *, rank: np.ndarray | None = None, chunk: int = DEFAULT_CHUNK,
+    method: str = "compare",
+) -> np.ndarray:
+    """Per-vertex triangle counts (each triangle counted at all 3 corners)."""
+    if rank is None:
+        rank = orient.degree_rank(g)
+    dag = orient.orient(g, rank)
+    pg = PaddedGraph.from_csr(dag)
+    edges, valid = _pad_edges(dag.edge_array(), chunk)
+    out = count_dag_edges_per_vertex(
+        pg.nbr, jnp.asarray(edges), jnp.asarray(valid),
+        chunk=chunk, num_segments=pg.v_pad, method=method,
+    )
+    return np.asarray(out)[: g.num_nodes]
+
+
+# ---------------------------------------------------------------------------
+# independent host oracle (role of triangle_count/verifier.h:13-42)
+# ---------------------------------------------------------------------------
+
+def triangle_count_oracle(g: CSRGraph) -> int:
+    """Serial numpy recount: Σ_v Σ_{w∈N(v)} |N(v) ∩ N(w)| / 6."""
+    total = 0
+    rows = [set(g.out_neigh(v).tolist()) for v in range(g.num_nodes)]
+    for v in range(g.num_nodes):
+        for w in g.out_neigh(v):
+            total += len(rows[v] & rows[int(w)])
+    return total // 6
+
+
+def triangle_count_per_vertex_oracle(g: CSRGraph) -> np.ndarray:
+    out = np.zeros(g.num_nodes, dtype=np.int64)
+    rows = [set(g.out_neigh(v).tolist()) for v in range(g.num_nodes)]
+    for v in range(g.num_nodes):
+        for w in g.out_neigh(v):
+            out[v] += len(rows[v] & rows[int(w)])
+    return out // 2  # each triangle seen twice per corner in this loop

@@ -1,0 +1,89 @@
+"""Ordering tests — role of testing/preprocessing/ + degeneracy verifiers
+(verifiers/degeneracy_verifier.h:38-137)."""
+
+import numpy as np
+import pytest
+
+from gms_tpu.io.builder import build_csr
+from gms_tpu.preprocessing import degeneracy as dg
+
+from conftest import random_graph
+
+
+def naive_degeneracy(g):
+    """Independent oracle: repeatedly remove min-degree vertex."""
+    adj = {v: set(g.out_neigh(v).tolist()) for v in range(g.num_nodes)}
+    k = 0
+    while adj:
+        v = min(adj, key=lambda x: (len(adj[x]), x))
+        k = max(k, len(adj[v]))
+        for w in adj[v]:
+            adj[w].discard(v)
+        del adj[v]
+    return k
+
+
+@pytest.mark.parametrize("seed,p", [(0, 0.1), (1, 0.3), (2, 0.5)])
+def test_exact_degeneracy(seed, p):
+    g = build_csr(random_graph(40, p, seed))
+    rank, k = dg.degeneracy_ordering_rank(g)
+    assert k == naive_degeneracy(g)
+    # rank is a permutation
+    assert sorted(rank.tolist()) == list(range(g.num_nodes))
+    # degeneracy property: forward degree <= k for every vertex
+    e = g.edge_array()
+    fwd = rank[e[:, 0]] < rank[e[:, 1]]
+    fwd_deg = np.bincount(e[fwd][:, 0], minlength=g.num_nodes)
+    assert fwd_deg.max() <= k
+
+
+def test_degeneracy_fixture(fixture_graphs):
+    # triangles_3: three disjoint triangles -> degeneracy 2
+    _, k = dg.degeneracy_ordering_rank(fixture_graphs["triangles_3"])
+    assert k == 2
+    _, k = dg.degeneracy_ordering_rank(fixture_graphs["micro"])
+    assert k == 1
+
+
+def test_degree_ordering():
+    g = build_csr(random_graph(30, 0.3, seed=3))
+    rank = dg.degree_ordering_rank(g)
+    order = dg.rank_to_order(rank)
+    degs = g.degrees[order]
+    assert np.all(np.diff(degs) >= 0)  # monotone degree
+    # format conversion is an involution
+    assert np.array_equal(dg.order_to_rank(order), rank)
+
+
+@pytest.mark.parametrize("boundary", ["avg", "min", "prob_min", "prob_median"])
+@pytest.mark.parametrize("eps", [0.01, 0.1, 0.5])
+def test_adg_is_valid_ordering(boundary, eps):
+    g = build_csr(random_graph(60, 0.2, seed=4))
+    rank = dg.adg_ordering_rank(g, eps=eps, boundary=boundary)
+    assert sorted(rank.tolist()) == list(range(g.num_nodes))
+
+
+def test_adg_quality():
+    # ADG forward degree should be within (2+eps)x of true degeneracy
+    # (the reference's approx guarantee, degeneracy_verifier.h:87-111)
+    g = build_csr(random_graph(80, 0.25, seed=5))
+    rank = dg.adg_ordering_rank(g, eps=0.1, boundary="avg")
+    stats = dg.evaluate_ordering(g, rank)
+    assert stats["max_forward_degree"] <= (2 + 0.1) * 2 * stats["true_degeneracy"] + 2
+
+
+def test_core_numbers():
+    # three disjoint triangles: every vertex has core number 2
+    g = build_csr(
+        np.array([[0, 1], [1, 2], [0, 2], [3, 4], [4, 5], [3, 5], [6, 7], [7, 8], [6, 8]])
+    )
+    assert np.array_equal(dg.core_numbers(g), np.full(9, 2))
+    # star graph: all core numbers 1
+    star = build_csr(np.array([[0, i] for i in range(1, 6)]))
+    assert np.array_equal(dg.core_numbers(star), np.ones(6))
+
+
+def test_core_numbers_max_is_degeneracy():
+    g = build_csr(random_graph(50, 0.3, seed=6))
+    _, k = dg.degeneracy_ordering_rank(g)
+    assert dg.core_numbers(g).max() == k
