@@ -1,0 +1,290 @@
+r"""Maximal clique enumeration — Bron-Kerbosch, TPU-native.
+
+Role of the reference's MCE family (gms/algorithms/set_based/
+maximal_clique_enum/):
+  * BkSimple (sequential/simple.h:13-61) — textbook no-pivot BK; here the
+    host oracle `bron_kerbosch_simple`.
+  * BkTomita pivoting (sequential/tomita.h:11-40: pivot = argmax
+    |cand ∩ N(u)| over u ∈ cand ∪ fini).
+  * BkEppstein / BkEppsteinPar (sequential/eppstein.h:13-40,
+    parallel/eppsteinPAR.h:17-66): degeneracy-ordered roots, per-root
+    cand/fini split (cand = higher-ranked neighbors, fini = lower-ranked).
+  * per-root induced subgraphs (parallel/EppsteinSubGraph.h:122-167,
+    sub_graph/roaring_sub_graph.h:13-132).
+
+TPU-first re-design: the recursion tree is explored breadth-wise over flat
+item buffers of fixed-shape bitmap tiles.
+
+  item = (root-chunk index, R, cand, fini)  — three uint32[WW] bitsets over
+  the root's LOCAL universe N(root) (max degree wide, tiered by root degree).
+
+One device "level" step does, for every item at once:
+  1. finished = (cand == ∅); maximal iff also fini == ∅ → count / emit (root,R);
+  2. Tomita pivot: lax.scan argmax over local u ∈ cand ∪ fini of
+     popcount(cand & adj[u]);
+  3. ext = cand \ adj[pivot]; children emitted in local-index order i ∈ ext:
+        R' = R ∪ {i},  cand' = (cand \ ext_{<i}) ∩ adj[i],
+        fini' = (fini ∪ ext_{<i}) ∩ adj[i]
+     compacted by prefix-sum into the next item buffer (count-then-emit).
+
+Each maximal clique is produced exactly once: its lowest-ranked vertex is its
+root (Eppstein argument), and within a root the Tomita recursion is
+duplicate-free. Counts are exact int64.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gms_tpu.graphs.csr import CSRGraph
+from gms_tpu.graphs.tiles import PaddedGraph, SENTINEL
+from gms_tpu.preprocessing import degeneracy
+from gms_tpu.algorithms.k_clique import build_local_adj, total_popcount, _bucket
+
+DEFAULT_ROOT_CHUNK = 256
+
+
+def _word_masks_below(i, ww: int):
+    """uint32[WW] mask of all bit positions < i."""
+    w = jax.lax.broadcasted_iota(jnp.int32, (ww,), 0)
+    full = jnp.where(w < (i >> 5), jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+    partial = jnp.where(
+        w == (i >> 5),
+        (jnp.uint32(1) << (i & 31).astype(jnp.uint32)) - 1,
+        jnp.uint32(0),
+    )
+    return full | partial
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "emit"))
+def bk_level(R, Cand, Fini, root_idx, adj, *, cap: int, emit: bool):
+    """One breadth-wise BK step over all items.
+
+    R/Cand/Fini: uint32[N, WW]; root_idx: int32[N]; adj: uint32[C, W, WW].
+    Liveness is root_idx >= 0; dead/padded slots (root_idx == -1) are inert.
+
+    Returns (n_maximal int64, out_roots, out_R, R', Cand', Fini', root', n_children).
+    When emit=False, out_roots/out_R are zero-size placeholders.
+    """
+    N, WW = Cand.shape
+    W = adj.shape[1]
+    live = root_idx >= 0
+
+    cand_empty = jnp.all(Cand == 0, axis=1)
+    fini_empty = jnp.all(Fini == 0, axis=1)
+    is_max = live & cand_empty & fini_empty
+    n_maximal = jnp.sum(is_max, dtype=jnp.int64)
+
+    if emit:
+        pos = jnp.cumsum(is_max.astype(jnp.int64)) - 1
+        dest = jnp.where(is_max, pos, N).astype(jnp.int64)
+        out_roots = jnp.full((N,), -1, jnp.int32).at[dest].set(root_idx, mode="drop")
+        out_R = jnp.zeros((N, WW), jnp.uint32).at[dest].set(R, mode="drop")
+    else:
+        out_roots = jnp.zeros((0,), jnp.int32)
+        out_R = jnp.zeros((0, WW), jnp.uint32)
+
+    active = live & ~cand_empty
+    adj_of = lambda i: jnp.take(
+        jnp.take(adj, i, axis=1), jnp.maximum(root_idx, 0), axis=0
+    )  # [N, WW] rows adj[root, i]
+
+    # --- Tomita pivot: argmax over u in cand ∪ fini of |cand ∩ adj[u]| ------
+    def pivot_step(carry, u):
+        best_score, best_u = carry
+        member = ((jnp.take(Cand | Fini, u >> 5, axis=1)
+                   >> (u & 31).astype(jnp.uint32)) & 1) == 1
+        score = jnp.sum(
+            jax.lax.population_count(Cand & adj_of(u)), axis=1, dtype=jnp.int32
+        )
+        score = jnp.where(member, score, -1)
+        better = score > best_score
+        return (jnp.where(better, score, best_score),
+                jnp.where(better, u, best_u)), None
+
+    (_, pivot), _ = jax.lax.scan(
+        pivot_step,
+        (jnp.full((N,), -1, jnp.int32), jnp.zeros((N,), jnp.int32)),
+        jnp.arange(W, dtype=jnp.int32),
+    )
+
+    # per-item row adj[root_idx[n], pivot[n], :] (advanced indexing, not take)
+    ext = Cand & ~adj[jnp.maximum(root_idx, 0), pivot]
+    ext = jnp.where(active[:, None], ext, jnp.uint32(0))
+
+    # --- children in local-index order ------------------------------------
+    R_out = jnp.zeros((cap, WW), jnp.uint32)
+    C_out = jnp.zeros((cap, WW), jnp.uint32)
+    F_out = jnp.zeros((cap, WW), jnp.uint32)
+    root_out = jnp.full((cap,), -1, jnp.int32)
+
+    def child_step(carry, i):
+        R_out, C_out, F_out, root_out, off = carry
+        in_ext = ((jnp.take(ext, i >> 5, axis=1)
+                   >> (i & 31).astype(jnp.uint32)) & 1) == 1
+        below = _word_masks_below(i, WW)                    # [WW]
+        processed = ext & below[None, :]
+        a_i = adj_of(i)
+        bit_i = (jnp.uint32(1) << (i & 31).astype(jnp.uint32))
+        w_i = i >> 5
+        onehot = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (WW,), 0) == w_i, bit_i, jnp.uint32(0)
+        )
+        childR = R | onehot[None, :]
+        childC = (Cand & ~processed) & a_i
+        childF = (Fini | processed) & a_i
+        pos = jnp.cumsum(in_ext.astype(jnp.int64)) - 1
+        dest = jnp.where(in_ext, off + pos, cap).astype(jnp.int64)
+        R_out = R_out.at[dest].set(childR, mode="drop")
+        C_out = C_out.at[dest].set(childC, mode="drop")
+        F_out = F_out.at[dest].set(childF, mode="drop")
+        root_out = root_out.at[dest].set(root_idx, mode="drop")
+        off = off + jnp.sum(in_ext, dtype=jnp.int64)
+        return (R_out, C_out, F_out, root_out, off), None
+
+    (R_out, C_out, F_out, root_out, n_children), _ = jax.lax.scan(
+        child_step,
+        (R_out, C_out, F_out, root_out, jnp.int64(0)),
+        jnp.arange(W, dtype=jnp.int32),
+    )
+    return n_maximal, out_roots, out_R, R_out, C_out, F_out, root_out, n_children
+
+
+@functools.partial(jax.jit, static_argnames=("w_words",))
+def init_items(nbr, rank_pad, roots, *, w_words: int):
+    """Initial (R, cand, fini) per root: cand = higher-ranked neighbors,
+    fini = lower-ranked (eppstein.h:23-33 / eppsteinPAR.h:39-45)."""
+    r_nbr = jnp.take(nbr, roots, axis=0, mode="clip")          # [C, W]
+    valid = r_nbr != SENTINEL
+    nbr_rank = jnp.take(rank_pad, r_nbr, axis=0, mode="clip")
+    root_rank = jnp.take(rank_pad, roots, axis=0, mode="clip")
+    higher = valid & (nbr_rank > root_rank[:, None])
+    lower = valid & ~higher
+    C, W = r_nbr.shape
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    pack = lambda b: jnp.sum(
+        b.reshape(C, w_words, 32).astype(jnp.uint32) * weights,
+        axis=2, dtype=jnp.uint32,
+    )
+    return pack(higher), pack(lower)
+
+
+def bron_kerbosch(
+    g: CSRGraph,
+    *,
+    rank: np.ndarray | None = None,
+    ordering: str = "degeneracy",
+    root_chunk: int = DEFAULT_ROOT_CHUNK,
+    collect: bool = False,
+):
+    """Enumerate/count all maximal cliques of the undirected graph g.
+
+    ordering ∈ {"degeneracy", "adg", "degree", "id"} — the reference's
+    BK-GMS-{DEG, ADG, DGR, SG} variants (bron_kerbosch.h:16-52,
+    maximal_clique_enum_bron_kerbosch.cc:31-93).
+
+    Returns count (int) if collect=False, else (count, list[frozenset[int]]).
+    """
+    n = g.num_nodes
+    if n == 0:
+        return (0, []) if collect else 0
+    if rank is None:
+        if ordering == "degeneracy":
+            rank, _ = degeneracy.degeneracy_ordering_rank(g)
+        elif ordering == "adg":
+            rank = degeneracy.adg_ordering_rank(g)
+        elif ordering == "degree":
+            rank = degeneracy.degree_ordering_rank(g)
+        elif ordering == "id":
+            rank = np.arange(n, dtype=np.int32)
+        else:
+            raise ValueError(f"unknown ordering {ordering!r}")
+
+    pg = PaddedGraph.from_csr(g, lane=32)
+    W = pg.d_pad
+    WW = W // 32
+    rank_pad = np.full(pg.v_pad + 1, np.int32(np.iinfo(np.int32).max))
+    rank_pad[:n] = rank
+    rank_pad = jnp.asarray(rank_pad)
+    nbr = pg.nbr
+    nbr_host = np.asarray(pg.nbr) if collect else None
+
+    total = 0
+    cliques: list[frozenset] = []
+    pad_id = np.int32(pg.v_pad)
+    roots_all = np.arange(n, dtype=np.int32)
+    for start in range(0, n, root_chunk):
+        chunk = roots_all[start : start + root_chunk]
+        C = len(chunk)
+        if C < root_chunk:
+            chunk = np.concatenate(
+                [chunk, np.full(root_chunk - C, pad_id, dtype=np.int32)]
+            )
+        adj, _S0 = build_local_adj(nbr, jnp.asarray(chunk), w_words=WW)
+        Cand, Fini = init_items(nbr, rank_pad, jnp.asarray(chunk), w_words=WW)
+        R = jnp.zeros((root_chunk, WW), jnp.uint32)
+        root_idx = jnp.where(
+            jnp.asarray(chunk) == pad_id, -1, jnp.arange(root_chunk, dtype=jnp.int32)
+        )
+        while True:
+            ub = int(total_popcount(Cand))  # >= number of children emitted
+            cap = _bucket(max(ub, 1))
+            (n_max, out_roots, out_R, R, Cand, Fini, root_idx, n_child) = bk_level(
+                R, Cand, Fini, root_idx, adj, cap=cap, emit=collect
+            )
+            total += int(n_max)
+            if collect and int(n_max):
+                orr = np.asarray(out_roots)[: int(n_max)]
+                orR = np.asarray(out_R)[: int(n_max)]
+                for rloc, bits in zip(orr, orR):
+                    gid = int(chunk[rloc])
+                    members = {gid}
+                    row = nbr_host[gid]
+                    for w in range(WW):
+                        word = int(bits[w])
+                        while word:
+                            b = (word & -word).bit_length() - 1
+                            members.add(int(row[w * 32 + b]))
+                            word &= word - 1
+                    cliques.append(frozenset(members))
+            if int(n_child) == 0:
+                break
+    return (total, cliques) if collect else total
+
+
+# ---------------------------------------------------------------------------
+# host oracle — role of BkSimple (sequential/simple.h:13-61) + verifier.h
+# ---------------------------------------------------------------------------
+
+def bron_kerbosch_simple(g: CSRGraph) -> list[frozenset]:
+    """Textbook no-pivot BK on the host; the correctness anchor."""
+    adj = [set(g.out_neigh(v).tolist()) for v in range(g.num_nodes)]
+    out: list[frozenset] = []
+
+    def rec(R: set, P: set, X: set):
+        if not P and not X:
+            out.append(frozenset(R))
+            return
+        for v in sorted(P):
+            rec(R | {v}, P & adj[v], X & adj[v])
+            P = P - {v}
+            X = X | {v}
+
+    rec(set(), set(range(g.num_nodes)), set())
+    return out
+
+
+def is_clique(g: CSRGraph, clique) -> bool:
+    adj = [set(g.out_neigh(v).tolist()) for v in range(g.num_nodes)]
+    cl = list(clique)
+    return all(b in adj[a] for i, a in enumerate(cl) for b in cl[i + 1 :])
+
+
+def is_maximal(g: CSRGraph, clique) -> bool:
+    adj = [set(g.out_neigh(v).tolist()) for v in range(g.num_nodes)]
+    cl = set(clique)
+    return not any(cl <= adj[v] for v in range(g.num_nodes) if v not in cl)

@@ -1,0 +1,226 @@
+"""k-clique counting — kClist-style DAG recursion, TPU-native.
+
+Role of the reference's two k-clique components:
+  * set-based recursive count (gms/algorithms/set_based/k_clique_count/
+    k_clique_count_set_based.h:5-28): recursive neighborhood intersection
+    with |isect| >= k-2 pruning;
+  * non-set-based kClist (gms/algorithms/non_set_based/k_clique_list/
+    kernels/kclisting.h:18-190, parallelizationStrategy/parallelize.h:38-121):
+    degeneracy-DAG orientation, per-root induced subgraph, recursive listing.
+
+TPU-first re-design (not a translation): the recursion becomes breadth-wise
+level expansion over *flat item buffers*.
+
+  1. Orient by (approximate) degeneracy rank -> DAG whose max out-degree is
+     bounded by the core number; pad to W lanes.
+  2. Per root chunk, build LOCAL adjacency bitmaps on device:
+     adj[b, i, :] = bitset over local indices j with DAG edge nbr_i -> nbr_j
+     (the role of SubGraphBuilder, SubGraphBuilder.h:24-60 — but one batched
+     searchsorted+bitpack, not per-thread scratch arrays).
+  3. An item = a partial clique = (root-chunk index, candidate bitset S).
+     One expansion step maps every item to its children {S & adj[i] : i in S}
+     — a lax.scan over local index i of word-AND + popcount + prefix-sum
+     compaction into a fresh item buffer (count-then-emit: capacity is the
+     exact un-pruned child total, read back once per level).
+  4. After k-2 expansions, count += sum(popcount(S)) — exact int64.
+
+A clique is counted exactly once: children are DAG-successors, so each clique
+is generated along its unique topological order (no /k! correction, mirroring
+kClist's orientation argument).
+
+Pruning matches the reference: a child survives only if |S'| is still large
+enough to complete a k-clique (k_clique_count_set_based.h:10 `>= k-2`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gms_tpu.graphs.csr import CSRGraph
+from gms_tpu.graphs.tiles import PaddedGraph, SENTINEL, round_up
+from gms_tpu.preprocessing import degeneracy, orient
+
+DEFAULT_ROOT_CHUNK = 1024
+
+
+def _bucket(n: int) -> int:
+    """Round item capacity up to a power of two (limits recompilation)."""
+    return 1 << max(8, int(np.ceil(np.log2(max(n, 1)))))
+
+
+# ---------------------------------------------------------------------------
+# device kernels
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("w_words",))
+def build_local_adj(nbr, roots, *, w_words: int):
+    """Per-root local DAG adjacency bitmaps + initial candidate bitsets.
+
+    nbr:   int32[V_pad, W] oriented padded adjacency (rows sorted asc)
+    roots: int32[C] root vertex ids (may contain padding ids; their rows
+           must be empty/SENTINEL so S0 comes out 0)
+
+    Returns (adj uint32[C, W, w_words], S0 uint32[C, w_words]) where bit j of
+    adj[b, i] says nbr[roots[b], j] ∈ N⁺(nbr[roots[b], i]).
+    """
+    r_nbr = jnp.take(nbr, roots, axis=0, mode="clip")          # [C, W]
+    rows = jnp.take(nbr, r_nbr, axis=0, mode="clip")           # [C, W, W]
+
+    def member_row(row, queries):
+        idx = jnp.minimum(jnp.searchsorted(row, queries), row.shape[0] - 1)
+        return row[idx] == queries
+
+    mem = jax.vmap(jax.vmap(member_row, in_axes=(0, None)), in_axes=(0, 0))(
+        rows, r_nbr
+    )  # [C, W(i), W(j)]
+    valid = r_nbr != SENTINEL                                  # [C, W]
+    adj_bool = mem & valid[:, None, :] & valid[:, :, None]
+
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    C, W = r_nbr.shape
+    adj = jnp.sum(
+        adj_bool.reshape(C, W, w_words, 32).astype(jnp.uint32) * weights,
+        axis=3, dtype=jnp.uint32,
+    )
+    S0 = jnp.sum(
+        valid.reshape(C, w_words, 32).astype(jnp.uint32) * weights,
+        axis=2, dtype=jnp.uint32,
+    )
+    return adj, S0
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "need"))
+def expand_level(S, root_idx, adj, *, cap: int, need: int):
+    """One breadth-wise expansion of all items.
+
+    S:        uint32[N, WW] candidate bitsets (zero rows emit nothing)
+    root_idx: int32[N] index into `adj`'s first axis
+    adj:      uint32[C, W, WW]
+    cap:      output capacity (must be >= true child count; caller passes the
+              exact un-pruned total)
+    need:     child survives iff popcount(child) >= need
+
+    Returns (S_out uint32[cap, WW], root_out int32[cap], n_children int64).
+    Unfilled slots are zero bitsets (inert in later levels).
+    """
+    N, WW = S.shape
+    W = adj.shape[1]
+
+    S_out = jnp.zeros((cap, WW), dtype=jnp.uint32)
+    R_out = jnp.zeros((cap,), dtype=jnp.int32)
+
+    def step(carry, i):
+        S_out, R_out, off = carry
+        word = jnp.take(S, i >> 5, axis=1)                     # [N]
+        has = (word >> (i & 31).astype(jnp.uint32)) & 1 == 1
+        adj_i = jnp.take(adj[:, :, :], i, axis=1)              # [C, WW]
+        child = S & jnp.take(adj_i, root_idx, axis=0)          # [N, WW]
+        pc = jnp.sum(jax.lax.population_count(child), axis=1, dtype=jnp.int32)
+        ok = has & (pc >= need)
+        pos = jnp.cumsum(ok.astype(jnp.int64)) - 1
+        dest = jnp.where(ok, off + pos, cap).astype(jnp.int64)
+        S_out = S_out.at[dest].set(child, mode="drop")
+        R_out = R_out.at[dest].set(root_idx, mode="drop")
+        off = off + jnp.sum(ok, dtype=jnp.int64)
+        return (S_out, R_out, off), None
+
+    (S_out, R_out, off), _ = jax.lax.scan(
+        step, (S_out, R_out, jnp.int64(0)), jnp.arange(W, dtype=jnp.int32)
+    )
+    return S_out, R_out, off
+
+
+@jax.jit
+def total_popcount(S):
+    return jnp.sum(jax.lax.population_count(S), dtype=jnp.int64)
+
+
+# ---------------------------------------------------------------------------
+# host orchestration
+# ---------------------------------------------------------------------------
+
+def kclique_count(
+    g: CSRGraph,
+    k: int,
+    *,
+    rank: np.ndarray | None = None,
+    root_chunk: int = DEFAULT_ROOT_CHUNK,
+) -> int:
+    """Exact number of k-cliques in the undirected graph g.
+
+    Equivalent output to kClist node-parallel counting
+    (k_clique_list_danisch_node_parallel.cc); each clique counted once.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if k == 1:
+        return g.num_nodes
+    if k == 2:
+        return g.num_edges_undirected
+    if rank is None:
+        rank, _ = degeneracy.degeneracy_ordering_rank(g)
+    dag = orient.orient(g, rank)
+    pg = PaddedGraph.from_csr(dag, lane=32)
+    W = pg.d_pad
+    WW = W // 32
+
+    deg = np.asarray(dag.degrees)
+    roots = np.nonzero(deg >= k - 1)[0].astype(np.int32)
+    if len(roots) == 0:
+        return 0
+
+    nbr = pg.nbr
+    total = 0
+    pad_id = np.int32(pg.v_pad)  # clip-gathers to the last (all-SENTINEL) row
+    for start in range(0, len(roots), root_chunk):
+        chunk = roots[start : start + root_chunk]
+        C = len(chunk)
+        if C < root_chunk:
+            chunk = np.concatenate(
+                [chunk, np.full(root_chunk - C, pad_id, dtype=np.int32)]
+            )
+        adj, S = build_local_adj(nbr, jnp.asarray(chunk), w_words=WW)
+        R = jnp.arange(root_chunk, dtype=jnp.int32)
+        remaining = k - 1
+        while remaining > 1:
+            ub = int(total_popcount(S))  # exact un-pruned child count
+            if ub == 0:
+                break
+            S, R, _n = expand_level(
+                S, R, adj, cap=_bucket(ub), need=remaining - 1
+            )
+            remaining -= 1
+        if remaining == 1:
+            total += int(total_popcount(S))
+    return total
+
+
+# ---------------------------------------------------------------------------
+# independent host oracle (role of verification/kclisting_original.h)
+# ---------------------------------------------------------------------------
+
+def kclique_count_oracle(g: CSRGraph, k: int) -> int:
+    """Serial numpy DFS over the degeneracy DAG — independent recount."""
+    if k == 1:
+        return g.num_nodes
+    if k == 2:
+        return g.num_edges_undirected
+    rank, _ = degeneracy.degeneracy_ordering_rank(g)
+    dag = orient.orient(g, rank)
+    adj = [dag.out_neigh(v) for v in range(dag.num_nodes)]
+
+    def rec(cands: np.ndarray, depth: int) -> int:
+        if depth == k - 1:
+            return len(cands)
+        total = 0
+        for v in cands:
+            nxt = np.intersect1d(cands, adj[int(v)], assume_unique=True)
+            if len(nxt) >= k - depth - 2:
+                total += rec(nxt, depth + 1)
+        return total
+
+    return sum(rec(adj[v], 1) for v in range(dag.num_nodes) if len(adj[v]) >= k - 1)

@@ -1,0 +1,65 @@
+"""Bron-Kerbosch MCE conformance — mirrors testing/bron_kerbosch.cpp:
+every result is a clique, is maximal, and the set-of-sets equals the
+BkSimple base algorithm, across orderings, on fixture + random graphs.
+"""
+
+import numpy as np
+import pytest
+
+from gms_tpu.algorithms import bron_kerbosch as bk
+from gms_tpu.io.builder import build_csr
+
+from conftest import random_graph
+
+ORDERINGS = ["degeneracy", "adg", "degree", "id"]
+
+
+def check_graph(g, ordering="degeneracy"):
+    want = set(bk.bron_kerbosch_simple(g))
+    count, got = bk.bron_kerbosch(g, ordering=ordering, collect=True)
+    assert count == len(want)
+    got_set = set(got)
+    assert got_set == want
+    for c in got_set:
+        assert bk.is_clique(g, c)
+        assert bk.is_maximal(g, c)
+
+
+@pytest.mark.parametrize("ordering", ORDERINGS)
+def test_fixtures(fixture_graphs, ordering):
+    for name, g in fixture_graphs.items():
+        check_graph(g, ordering)
+
+
+def test_triangle_plus_isolated():
+    # hardcoded size-3 graphs incl. isolated vertices (bron_kerbosch.cpp:46-69)
+    g = build_csr(np.array([[0, 1], [1, 2], [0, 2]], dtype=np.int64), num_nodes=5)
+    count, got = bk.bron_kerbosch(g, collect=True)
+    assert set(got) == {frozenset({0, 1, 2}), frozenset({3}), frozenset({4})}
+    assert count == 3
+
+
+@pytest.mark.parametrize("n,p,seed", [(10, 0.4, 0), (50, 0.15, 1), (100, 0.08, 2)])
+def test_random_graphs(n, p, seed):
+    g = build_csr(random_graph(n, p, seed), num_nodes=n)
+    check_graph(g)
+
+
+def test_count_only_matches_collect():
+    g = build_csr(random_graph(40, 0.3, 7), num_nodes=40)
+    count, got = bk.bron_kerbosch(g, collect=True)
+    assert bk.bron_kerbosch(g) == count == len(got)
+
+
+def test_small_root_chunk():
+    g = build_csr(random_graph(30, 0.3, 9), num_nodes=30)
+    want = len(bk.bron_kerbosch_simple(g))
+    assert bk.bron_kerbosch(g, root_chunk=4) == want
+
+
+def test_empty_and_edgeless():
+    g0 = build_csr(np.zeros((0, 2), dtype=np.int64), num_nodes=0)
+    assert bk.bron_kerbosch(g0) == 0
+    g1 = build_csr(np.zeros((0, 2), dtype=np.int64), num_nodes=3)
+    count, got = bk.bron_kerbosch(g1, collect=True)
+    assert count == 3 and set(got) == {frozenset({v}) for v in range(3)}
