@@ -1,0 +1,229 @@
+"""k-clique-star listing — TPU-native.
+
+Role of gms/algorithms/set_based/k_clique_star_list/ (sequential/recursive.h
+:32-69, parallel/recursive.h:18-43, output.h ListOutput modes Count/List):
+enumerate k-cliques; for each, the star = (∩_{v ∈ clique} N(v)) \\ clique;
+emit (clique, star).
+
+Design: the kClist-style DAG expansion (see k_clique.py) over the root's
+FULL undirected neighborhood as the local universe, carrying two bitsets:
+
+  S — remaining DAG candidates (next member must be a higher-ranked common
+      neighbor), drives enumeration exactly once per k-clique;
+  I — running ∩ of full neighborhoods of the chosen members; every member
+      is adjacent to the root so I ⊆ N(root) stays inside the local
+      universe. At depth k the star is I \\ members.
+
+The reference's disabled `remove_redundancy` (k_clique_star_list.cc:11-12,
+recursive.h:81-119 dead code) means its output may contain duplicate
+{centroid, star} pairs; here each k-clique is emitted exactly once — same
+clique-star pairs, no duplicates.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gms_tpu.graphs.csr import CSRGraph
+from gms_tpu.graphs.tiles import PaddedGraph, SENTINEL
+from gms_tpu.preprocessing import degeneracy
+from gms_tpu.algorithms.k_clique import total_popcount, _bucket
+
+DEFAULT_ROOT_CHUNK = 512
+
+
+@functools.partial(jax.jit, static_argnames=("w_words",))
+def build_local_univ(nbr, rank_pad, roots, *, w_words: int):
+    """Local universe over FULL N(root): undirected local adjacency bitmaps,
+    initial DAG-candidate bitset (rank > rank(root)), full-valid bitset, and
+    per-local rank-oriented adjacency masks.
+
+    Returns (adj_full, adj_dag, S0, I0):
+      adj_full uint32[C, W, WW] — local j adjacent to local i
+      adj_dag  uint32[C, W, WW] — adj_full restricted to rank(j) > rank(i)
+      S0 uint32[C, WW] — locals with rank > rank(root)
+      I0 uint32[C, WW] — all valid locals
+    """
+    r_nbr = jnp.take(nbr, roots, axis=0, mode="clip")              # [C, W]
+    rows = jnp.take(nbr, r_nbr, axis=0, mode="clip")               # [C, W, W]
+
+    def member_row(row, queries):
+        idx = jnp.minimum(jnp.searchsorted(row, queries), row.shape[0] - 1)
+        return row[idx] == queries
+
+    mem = jax.vmap(jax.vmap(member_row, in_axes=(0, None)), in_axes=(0, 0))(
+        rows, r_nbr
+    )
+    valid = r_nbr != SENTINEL
+    adjb = mem & valid[:, None, :] & valid[:, :, None]
+    lrank = jnp.take(rank_pad, r_nbr, axis=0, mode="clip")         # [C, W]
+    rrank = jnp.take(rank_pad, roots, axis=0, mode="clip")         # [C]
+    dagb = adjb & (lrank[:, None, :] > lrank[:, :, None])
+    C, W = r_nbr.shape
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    pack2 = lambda b: jnp.sum(
+        b.reshape(C, w_words, 32).astype(jnp.uint32) * weights,
+        axis=2, dtype=jnp.uint32)
+    pack3 = lambda b: jnp.sum(
+        b.reshape(C, W, w_words, 32).astype(jnp.uint32) * weights,
+        axis=3, dtype=jnp.uint32)
+    S0 = pack2(valid & (lrank > rrank[:, None]))
+    I0 = pack2(valid)
+    return pack3(adjb), pack3(dagb), S0, I0
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "need"))
+def expand_star_level(S, I, R, root_idx, adj_full, adj_dag, *, cap: int, need: int):
+    """One member choice for all items: child S' = S ∩ adj_dag[i],
+    I' = I ∩ adj_full[i], R' = R ∪ {i}; pruned on |S'| >= need."""
+    N, WW = S.shape
+    W = adj_dag.shape[1]
+    S_out = jnp.zeros((cap, WW), jnp.uint32)
+    I_out = jnp.zeros((cap, WW), jnp.uint32)
+    R_out = jnp.zeros((cap, WW), jnp.uint32)
+    X_out = jnp.full((cap,), -1, jnp.int32)
+    ridx = jnp.maximum(root_idx, 0)
+
+    def step(carry, i):
+        S_out, I_out, R_out, X_out, off = carry
+        has = ((jnp.take(S, i >> 5, axis=1) >> (i & 31).astype(jnp.uint32)) & 1) == 1
+        a_dag = jnp.take(jnp.take(adj_dag, i, axis=1), ridx, axis=0)
+        a_full = jnp.take(jnp.take(adj_full, i, axis=1), ridx, axis=0)
+        childS = S & a_dag
+        childI = I & a_full
+        bit = (jnp.uint32(1) << (i & 31).astype(jnp.uint32))
+        onehot = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (WW,), 0) == (i >> 5),
+            bit, jnp.uint32(0))
+        childR = R | onehot[None, :]
+        pc = jnp.sum(jax.lax.population_count(childS), axis=1, dtype=jnp.int32)
+        ok = has & (pc >= need)
+        pos = jnp.cumsum(ok.astype(jnp.int64)) - 1
+        dest = jnp.where(ok, off + pos, cap).astype(jnp.int64)
+        S_out = S_out.at[dest].set(childS, mode="drop")
+        I_out = I_out.at[dest].set(childI, mode="drop")
+        R_out = R_out.at[dest].set(childR, mode="drop")
+        X_out = X_out.at[dest].set(root_idx, mode="drop")
+        off = off + jnp.sum(ok, dtype=jnp.int64)
+        return (S_out, I_out, R_out, X_out, off), None
+
+    (S_out, I_out, R_out, X_out, n), _ = jax.lax.scan(
+        step, (S_out, I_out, R_out, X_out, jnp.int64(0)),
+        jnp.arange(W, dtype=jnp.int32))
+    return S_out, I_out, R_out, X_out, n
+
+
+def _bits_to_ids(bits_row: np.ndarray, local_ids: np.ndarray) -> list[int]:
+    out = []
+    for w, word in enumerate(bits_row):
+        word = int(word)
+        while word:
+            b = (word & -word).bit_length() - 1
+            out.append(int(local_ids[w * 32 + b]))
+            word &= word - 1
+    return out
+
+
+def kclique_star_list(
+    g: CSRGraph,
+    k: int,
+    *,
+    rank: np.ndarray | None = None,
+    root_chunk: int = DEFAULT_ROOT_CHUNK,
+    mode: str = "list",
+):
+    """k-clique-stars of g.
+
+    mode="list": returns list of (clique frozenset, star frozenset), one per
+    k-clique (k_clique_star_list.cc semantics minus its duplicate quirk).
+    mode="count": returns (num_cliques, total_star_size) — the ListOutput
+    Count mode (output.h:15-96).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    n = g.num_nodes
+    if rank is None:
+        rank, _ = degeneracy.degeneracy_ordering_rank(g)
+    pg = PaddedGraph.from_csr(g, lane=32)
+    W, WW = pg.d_pad, pg.d_pad // 32
+    rank_pad = np.full(pg.v_pad + 1, np.int32(np.iinfo(np.int32).max))
+    rank_pad[:n] = rank
+    rank_pad_j = jnp.asarray(rank_pad)
+    nbr_host = np.asarray(pg.nbr)
+    pad_id = np.int32(pg.v_pad)
+
+    roots_all = np.nonzero(g.degrees >= k - 1)[0].astype(np.int32)
+    results = []
+    n_cliques = 0
+    star_total = 0
+    for start in range(0, len(roots_all), root_chunk):
+        chunk = roots_all[start : start + root_chunk]
+        C = len(chunk)
+        if C < root_chunk:
+            chunk = np.concatenate(
+                [chunk, np.full(root_chunk - C, pad_id, dtype=np.int32)])
+        adj_full, adj_dag, S, I = build_local_univ(
+            pg.nbr, rank_pad_j, jnp.asarray(chunk), w_words=WW)
+        R = jnp.zeros((root_chunk, WW), jnp.uint32)
+        root_idx = jnp.where(jnp.asarray(chunk) == pad_id, -1,
+                             jnp.arange(root_chunk, dtype=jnp.int32))
+        remaining = k - 1
+        alive = True
+        while remaining > 0:
+            ub = int(total_popcount(S))
+            if ub == 0:
+                alive = False
+                break
+            S, I, R, root_idx, _n = expand_star_level(
+                S, I, R, root_idx, adj_full, adj_dag,
+                cap=_bucket(ub), need=max(remaining - 1, 0))
+            remaining -= 1
+        if not alive:
+            continue
+        live = np.asarray(root_idx) >= 0
+        Rh, Ih = np.asarray(R)[live], np.asarray(I)[live]
+        ridx = np.asarray(root_idx)[live]
+        star_bits = Ih & ~Rh
+        n_cliques += len(ridx)
+        star_total += int(
+            np.unpackbits(star_bits.view(np.uint8), axis=1).sum())
+        if mode == "list":
+            for rl, rb, sb in zip(ridx, Rh, star_bits):
+                gid = int(chunk[rl])
+                locals_ = nbr_host[gid]
+                members = frozenset([gid] + _bits_to_ids(rb, locals_))
+                star = frozenset(_bits_to_ids(sb, locals_))
+                results.append((members, star))
+    if mode == "count":
+        return n_cliques, star_total
+    return results
+
+
+# ---------------------------------------------------------------------------
+# host oracle + validity check (verifiers/valid_kcstar.h:17-60 role)
+# ---------------------------------------------------------------------------
+
+def kclique_star_oracle(g: CSRGraph, k: int) -> list[tuple[frozenset, frozenset]]:
+    from itertools import combinations
+
+    rows = [set(g.out_neigh(v).tolist()) for v in range(g.num_nodes)]
+    out = []
+    for clique in combinations(range(g.num_nodes), k):
+        if all(b in rows[a] for a, b in combinations(clique, 2)):
+            star = set.intersection(*(rows[v] for v in clique)) - set(clique)
+            out.append((frozenset(clique), frozenset(star)))
+    return out
+
+
+def is_valid_star(g: CSRGraph, clique: frozenset, star: frozenset) -> bool:
+    rows = [set(g.out_neigh(v).tolist()) for v in range(g.num_nodes)]
+    from itertools import combinations
+
+    if not all(b in rows[a] for a, b in combinations(sorted(clique), 2)):
+        return False
+    return all(all(s in rows[v] for v in clique) and s not in clique
+               for s in star)

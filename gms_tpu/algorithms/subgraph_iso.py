@@ -1,0 +1,261 @@
+"""Subgraph isomorphism — VF2-equivalent batched backtracking, TPU-native.
+
+Role of gms/algorithms/non_set_based/subgraphiso/ (842 LoC):
+  * State / candidate-pair generation / feasibility rules
+    (vf2/util/vf2State.hpp:17-80, candidateGeneration.hpp,
+    feasibilityRules.hpp);
+  * sequential solver returning the FIRST found mapping
+    (vf2/sequential/vf2.hpp:40-83);
+  * parallel solver: OpenMP tasks + taskgroup cancellation
+    (vf2/parallel/vf2.hpp:40-106);
+  * verification by mapped-edge-set comparison — induced: equality,
+    else pattern ⊆ target (util/subgraphiso_verification.hpp:11-60).
+
+TPU-first re-design: the DFS with per-task state copies becomes breadth-wise
+expansion of a flat buffer of partial mappings.
+
+  item = int32[P] — target ids for pattern positions 0..d-1 in a static
+  connected search order (max-degree start, then most-placed-neighbors).
+
+Level step d: candidates = neighbor row of the anchor parent (first mapped
+pattern-neighbor) gathered per item; feasibility is a batched mask —
+distinctness, adjacency to every mapped pattern-neighbor (searchsorted
+membership), non-adjacency for induced mode, and the degree lookahead
+deg(c) >= deg_P(d) — then prefix-sum compaction (count-then-emit).
+Root-candidate chunks run sequentially so `limit` can stop early, the role
+of the reference's taskgroup cancellation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gms_tpu.graphs.csr import CSRGraph
+from gms_tpu.graphs.tiles import PaddedGraph, SENTINEL
+from gms_tpu.algorithms.k_clique import _bucket
+
+
+def _search_order(pattern: CSRGraph):
+    """Connected search order + per-position (parents, nonparents)."""
+    P = pattern.num_nodes
+    deg = pattern.degrees
+    placed: list[int] = []
+    remaining = set(range(P))
+    adj = [set(pattern.out_neigh(v).tolist()) for v in range(P)]
+    while remaining:
+        if not placed:
+            nxt = max(remaining, key=lambda v: (deg[v], -v))
+        else:
+            nxt = max(
+                remaining,
+                key=lambda v: (sum(1 for u in placed if u in adj[v]), deg[v], -v),
+            )
+        placed.append(nxt)
+        remaining.discard(nxt)
+    pos_of = {v: i for i, v in enumerate(placed)}
+    parents, nonparents = [], []
+    for i, v in enumerate(placed):
+        ps = tuple(sorted(pos_of[u] for u in adj[v] if pos_of[u] < i))
+        nps = tuple(j for j in range(i) if j not in ps)
+        parents.append(ps)
+        nonparents.append(nps)
+    return placed, parents, nonparents
+
+
+@functools.partial(
+    jax.jit, static_argnames=("d", "parents", "nonparents", "pdeg_d", "induced")
+)
+def _feasible(M, cand, nbr, deg1, *, d: int, parents: tuple, nonparents: tuple,
+              pdeg_d: int, induced: bool):
+    """bool[N, Dc]: candidate c extends mapping M at position d."""
+    ok = cand != SENTINEL
+    ok &= M[:, 0][:, None] >= 0  # dead (padding) rows emit nothing
+    ok &= jnp.take(deg1, cand, mode="clip") >= pdeg_d
+    for j in range(d):
+        ok &= cand != M[:, j][:, None]
+    def member(rows, queries):
+        idx = jnp.minimum(jnp.searchsorted(rows, queries), rows.shape[0] - 1)
+        return rows[idx] == queries
+    vm = jax.vmap(member)
+    for p in parents:
+        rows = jnp.take(nbr, M[:, p], axis=0, mode="clip")
+        ok &= vm(rows, cand)
+    if induced:
+        for p in nonparents:
+            rows = jnp.take(nbr, M[:, p], axis=0, mode="clip")
+            ok &= ~vm(rows, cand)
+    return ok
+
+
+@functools.partial(jax.jit, static_argnames=("d", "cap"))
+def _emit(M, cand, ok, *, d: int, cap: int):
+    """Compact children M' (position d := cand) into a cap-sized buffer."""
+    N, P = M.shape
+    Dc = cand.shape[1]
+    M_out = jnp.full((cap, P), -1, jnp.int32)
+
+    def step(carry, c):
+        M_out, off = carry
+        okc = ok[:, c]
+        child = M.at[:, d].set(cand[:, c])
+        pos = jnp.cumsum(okc.astype(jnp.int64)) - 1
+        dest = jnp.where(okc, off + pos, cap).astype(jnp.int64)
+        M_out = M_out.at[dest].set(child, mode="drop")
+        off = off + jnp.sum(okc, dtype=jnp.int64)
+        return (M_out, off), None
+
+    (M_out, off), _ = jax.lax.scan(
+        step, (M_out, jnp.int64(0)), jnp.arange(Dc, dtype=jnp.int32)
+    )
+    return M_out, off
+
+
+def subgraph_isomorphism(
+    g: CSRGraph,
+    pattern: CSRGraph,
+    *,
+    induced: bool = False,
+    limit: int | None = 1,
+    root_chunk: int = 4096,
+) -> np.ndarray:
+    """Find mappings of `pattern` into `g`.
+
+    Returns int32[k, P]: row r maps pattern vertex j -> result[r, j].
+    limit=1 reproduces the reference's find-first semantics
+    (vf2.hpp:53-83); limit=None enumerates all (a superset capability).
+    """
+    P = pattern.num_nodes
+    if P == 0 or g.num_nodes < P:
+        return np.zeros((0, P), np.int32)
+    order, parents, nonparents = _search_order(pattern)
+    pdeg = pattern.degrees[order]
+    pg = PaddedGraph.from_csr(g)
+    deg1 = jnp.concatenate([pg.deg, jnp.zeros(1, jnp.int32)])
+    nbr = pg.nbr
+
+    roots = np.nonzero(g.degrees >= pdeg[0])[0].astype(np.int32)
+    found: list[np.ndarray] = []
+    total = 0
+    for start in range(0, len(roots), root_chunk):
+        chunk = roots[start : start + root_chunk]
+        M = jnp.full((len(chunk), P), -1, jnp.int32).at[:, 0].set(jnp.asarray(chunk))
+        dead = False
+        for d in range(1, P):
+            if parents[d]:
+                cand = jnp.take(nbr, M[:, parents[d][0]], axis=0, mode="clip")
+                M = _level(M, cand, nbr, deg1, d, parents[d], nonparents[d],
+                           int(pdeg[d]), induced)
+            else:
+                # disconnected pattern: candidates = all vertices, blockwise
+                pieces = []
+                V = g.num_nodes
+                blk = max(256, nbr.shape[1])
+                for b0 in range(0, V, blk):
+                    ids = np.arange(b0, min(b0 + blk, V), dtype=np.int32)
+                    ids_pad = np.full(blk, np.int32(SENTINEL))
+                    ids_pad[: len(ids)] = ids
+                    cand = jnp.broadcast_to(jnp.asarray(ids_pad), (M.shape[0], blk))
+                    out = _level(M, cand, nbr, deg1, d, parents[d],
+                                 nonparents[d], int(pdeg[d]), induced)
+                    if out.shape[0]:
+                        pieces.append(out)
+                M = (jnp.concatenate(pieces, axis=0) if pieces
+                     else jnp.zeros((0, P), jnp.int32))
+            if M.shape[0] == 0:
+                dead = True
+                break
+        if dead:
+            continue
+        full = np.asarray(M)
+        full = full[(full >= 0).all(axis=1)]
+        if len(full):
+            # positions -> pattern-vertex columns
+            out = np.empty_like(full)
+            out[:, np.asarray(order)] = full
+            found.append(out)
+            total += len(full)
+            if limit is not None and total >= limit:
+                break
+    if not found:
+        return np.zeros((0, P), np.int32)
+    res = np.concatenate(found, axis=0)
+    return res[:limit] if limit is not None else res
+
+
+def _level(M, cand, nbr, deg1, d, parents, nonparents, pdeg_d, induced):
+    ok = _feasible(M, cand, nbr, deg1, d=d, parents=parents,
+                   nonparents=nonparents, pdeg_d=pdeg_d, induced=induced)
+    nc = int(jnp.sum(ok, dtype=jnp.int64))
+    if nc == 0:
+        return jnp.zeros((0, M.shape[1]), jnp.int32)
+    # keep the bucketed capacity (dead rows are -1-filled and inert) so
+    # level shapes stay power-of-two and compilations are bounded
+    M_out, _off = _emit(M, cand, ok, d=d, cap=_bucket(nc))
+    return M_out
+
+
+def verify_mapping(
+    g: CSRGraph, pattern: CSRGraph, mapping: np.ndarray, *, induced: bool = False
+) -> bool:
+    """Edge-set check (subgraphiso_verification.hpp:11-60): induced ->
+    mapped target edges == pattern edges; else pattern ⊆ target."""
+    mapping = np.asarray(mapping)
+    if len(set(mapping.tolist())) != len(mapping):
+        return False
+    tadj = [set(g.out_neigh(v).tolist()) for v in range(g.num_nodes)]
+    for a in range(pattern.num_nodes):
+        pa = set(pattern.out_neigh(a).tolist())
+        for b in range(pattern.num_nodes):
+            if a == b:
+                continue
+            has_p = b in pa
+            has_t = int(mapping[b]) in tadj[int(mapping[a])]
+            if has_p and not has_t:
+                return False
+            if induced and has_t and not has_p:
+                return False
+    return True
+
+
+# ---------------------------------------------------------------------------
+# host oracle: plain recursive backtracking (independent of the device path)
+# ---------------------------------------------------------------------------
+
+def subgraph_isomorphism_oracle(
+    g: CSRGraph, pattern: CSRGraph, *, induced: bool = False
+) -> list[tuple]:
+    """All mappings pattern->g as tuples (target id per pattern vertex)."""
+    P = pattern.num_nodes
+    tadj = [set(g.out_neigh(v).tolist()) for v in range(g.num_nodes)]
+    padj = [set(pattern.out_neigh(v).tolist()) for v in range(P)]
+    out = []
+
+    def rec(mapping: dict):
+        if len(mapping) == P:
+            out.append(tuple(mapping[j] for j in range(P)))
+            return
+        a = len(mapping)
+        for c in range(g.num_nodes):
+            if c in mapping.values():
+                continue
+            ok = True
+            for b, t in mapping.items():
+                has_p = b in padj[a]
+                has_t = t in tadj[c]
+                if has_p and not has_t:
+                    ok = False
+                    break
+                if induced and has_t and not has_p:
+                    ok = False
+                    break
+            if ok:
+                mapping[a] = c
+                rec(mapping)
+                del mapping[a]
+
+    rec({})
+    return out

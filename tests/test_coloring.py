@@ -1,0 +1,77 @@
+"""Graph coloring conformance — validity + bound verifiers on fixtures and
+random graphs (role of the reference's GCVerifier suite,
+coloring_common.h:28-205, and coloring.cc's per-trial color counts)."""
+
+import numpy as np
+import pytest
+
+from gms_tpu.algorithms import coloring as gc
+from gms_tpu.io.builder import build_csr
+
+from conftest import random_graph
+
+
+def check(g, colors):
+    assert gc.verify_coloring(g, colors)
+    assert gc.verify_delta_plus_one(g, colors)
+
+
+@pytest.mark.parametrize("priority", ["random", "degree", "id"])
+def test_jp_fixtures(fixture_graphs, priority):
+    for name, g in fixture_graphs.items():
+        colors = gc.jones_plassmann(g, priority=priority)
+        check(g, colors)
+        # JP greedy gives color(v) <= deg(v)
+        assert gc.verify_degree_bound(g, colors), name
+
+
+@pytest.mark.parametrize("n,p,seed", [(50, 0.1, 0), (100, 0.05, 1), (64, 0.3, 2)])
+def test_jp_random_graphs(n, p, seed):
+    g = build_csr(random_graph(n, p, seed), num_nodes=n)
+    check(g, gc.jones_plassmann(g, seed=seed))
+
+
+def test_johansson(fixture_graphs):
+    for name, g in fixture_graphs.items():
+        colors = gc.johansson(g, seed=3)
+        assert gc.verify_coloring(g, colors), name
+        assert gc.verify_degree_bound(g, colors), name
+
+
+def test_greedy_oracle_props():
+    g = build_csr(random_graph(40, 0.2, 4), num_nodes=40)
+    colors = gc.greedy_sequential(g)
+    check(g, colors)
+    assert gc.verify_degree_bound(g, colors)
+
+
+def test_bipartite_two_colors():
+    # even cycle: chromatic number 2; JP must stay within Δ+1 = 3 and
+    # produce a proper coloring
+    n = 16
+    el = np.array([[i, (i + 1) % n] for i in range(n)], dtype=np.int64)
+    g = build_csr(el, num_nodes=n)
+    colors = gc.jones_plassmann(g, seed=5)
+    check(g, colors)
+    assert gc.unique_colors_count(colors) <= 3
+
+
+def test_complete_graph_n_colors():
+    n = 9
+    src, dst = np.nonzero(np.triu(np.ones((n, n), dtype=bool), 1))
+    g = build_csr(np.stack([src, dst], axis=1).astype(np.int64))
+    colors = gc.jones_plassmann(g, seed=6)
+    check(g, colors)
+    assert gc.unique_colors_count(colors) == n
+
+
+def test_isolated_vertices():
+    g = build_csr(np.array([[0, 1]], dtype=np.int64), num_nodes=5)
+    colors = gc.jones_plassmann(g)
+    check(g, colors)
+    assert (colors[2:] == 0).all()
+
+
+def test_empty_graph():
+    g = build_csr(np.zeros((0, 2), dtype=np.int64), num_nodes=0)
+    assert len(gc.jones_plassmann(g)) == 0

@@ -1,0 +1,78 @@
+"""Subgraph isomorphism conformance vs a host backtracking oracle."""
+
+import numpy as np
+import pytest
+
+from gms_tpu.algorithms import subgraph_iso as si
+from gms_tpu.io.builder import build_csr
+
+from conftest import random_graph
+
+
+def G(el, n=None):
+    return build_csr(np.asarray(el, dtype=np.int64), num_nodes=n)
+
+
+TRIANGLE = G([[0, 1], [1, 2], [0, 2]])
+PATH3 = G([[0, 1], [1, 2]])
+SQUARE = G([[0, 1], [1, 2], [2, 3], [3, 0]])
+
+
+def count_all(g, pat, induced):
+    return len(si.subgraph_isomorphism(g, pat, induced=induced, limit=None))
+
+
+@pytest.mark.parametrize("induced", [False, True])
+@pytest.mark.parametrize("pat", [TRIANGLE, PATH3, SQUARE])
+def test_vs_oracle_random(pat, induced):
+    g = build_csr(random_graph(20, 0.25, 1), num_nodes=20)
+    got = si.subgraph_isomorphism(g, pat, induced=induced, limit=None)
+    want = si.subgraph_isomorphism_oracle(g, pat, induced=induced)
+    assert {tuple(r) for r in got.tolist()} == set(want)
+
+
+def test_find_first_valid():
+    g = build_csr(random_graph(30, 0.3, 2), num_nodes=30)
+    res = si.subgraph_isomorphism(g, TRIANGLE, limit=1)
+    assert res.shape == (1, 3)
+    assert si.verify_mapping(g, TRIANGLE, res[0])
+
+
+def test_no_match():
+    g = G([[0, 1], [1, 2]], n=3)  # path has no triangle
+    assert count_all(g, TRIANGLE, False) == 0
+
+
+def test_induced_vs_noninduced():
+    # K4 contains C4 as a (non-induced) subgraph but not as induced
+    n = 4
+    src, dst = np.nonzero(np.triu(np.ones((n, n), dtype=bool), 1))
+    k4 = build_csr(np.stack([src, dst], axis=1).astype(np.int64))
+    assert count_all(k4, SQUARE, False) > 0
+    assert count_all(k4, SQUARE, True) == 0
+
+
+def test_pattern_larger_than_target():
+    g = G([[0, 1]], n=2)
+    assert count_all(g, TRIANGLE, False) == 0
+
+
+def test_automorphism_count():
+    # triangle in triangle: 3! = 6 mappings
+    assert count_all(TRIANGLE, TRIANGLE, False) == 6
+
+
+def test_disconnected_pattern():
+    pat = G([[0, 1], [2, 3]], n=4)  # two disjoint edges
+    g = G([[0, 1], [2, 3], [1, 2]], n=4)
+    got = si.subgraph_isomorphism(g, pat, induced=False, limit=None)
+    want = si.subgraph_isomorphism_oracle(g, pat, induced=False)
+    assert {tuple(r) for r in got.tolist()} == set(want)
+
+
+def test_limit_stops_early():
+    g = build_csr(random_graph(40, 0.4, 3), num_nodes=40)
+    res = si.subgraph_isomorphism(g, TRIANGLE, limit=5, root_chunk=4)
+    assert len(res) == 5
+    for row in res:
+        assert si.verify_mapping(g, TRIANGLE, row)
