@@ -1,0 +1,39 @@
+"""Triangle counting benchmark (role of triangle_count.cc:22-48)."""
+
+from __future__ import annotations
+
+from gms_tpu.algorithms import triangle_count as tc
+from gms_tpu.harness import benchmark, cli
+
+
+def main(argv=None):
+    args, g = cli.Parser("triangle counting").parse_and_load(argv)
+
+    def verify(g, result):
+        return int(result) == tc.triangle_count_oracle(g)
+
+    benchmark.benchmark_kernel_bk(
+        args, g,
+        build=lambda g: tc.TrianglePlan(g),
+        kernel=lambda plan: plan.run(),
+        verifier=verify if args.verify else None,
+        labels=("tc-total-tiered-tpu",),
+    )
+
+    def pv_kernel(g):
+        return tc.triangle_count_per_vertex(g)
+
+    def pv_verify(g, result):
+        import numpy as np
+
+        return np.array_equal(result, tc.triangle_count_per_vertex_oracle(g))
+
+    benchmark.benchmark_kernel(
+        args, g, pv_kernel,
+        verifier=pv_verify if args.verify else None,
+        labels=("tc-vertex-tpu",),
+    )
+
+
+if __name__ == "__main__":
+    main()
