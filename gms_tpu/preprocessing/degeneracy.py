@@ -54,12 +54,20 @@ def _degeneracy_peel(g: CSRGraph) -> tuple[np.ndarray, np.ndarray, int]:
     O(n + m) exact smallest-last ordering — the role of
     getDegeneracyOrderingMatula (sequential/degeneracy_matula.h:13-66) and
     CoreNumberEvaluator (util/core_number_evaluator.h:19-44) in one pass.
-    Inherently sequential, so host-side, exactly as the reference keeps it
-    serial. A C++ fast path may override this for huge graphs.
+    Inherently sequential pointer-chasing, so it runs in the native C++
+    runtime (gms_tpu/native) with this numpy loop as the fallback.
     """
     n = g.num_nodes
     if n == 0:
         return np.zeros(0, dtype=np.int32), np.zeros(0, dtype=np.int32), 0
+    try:
+        from gms_tpu import native
+
+        res = native.degeneracy_peel(g.indptr, g.indices)
+    except Exception:  # pragma: no cover - native build failure
+        res = None
+    if res is not None:
+        return res
     deg = g.degrees.astype(np.int64).copy()
     max_deg = int(deg.max(initial=0))
     # vert: vertices sorted by current degree; bin_ptr[d] = start of bucket d
