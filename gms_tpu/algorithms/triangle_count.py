@@ -158,6 +158,93 @@ def count_dag_edges_per_vertex(
     return out
 
 
+# ---------------------------------------------------------------------------
+# hub-bitmap path for wide edges
+# ---------------------------------------------------------------------------
+#
+# Under DEGREE-rank orientation, u -> w implies deg(w) >= deg(u), so if
+# out-deg(u) >= t then every out-neighbor of u lies in the hub universe
+# H_t = {v : deg(v) >= t}, which is SMALL for power-law graphs. Both rows of
+# any edge whose endpoints have out-degree >= t are subsets of H_t, so their
+# intersection is a |H_t|-bit AND + popcount — O(|H_t|/32) words per edge
+# instead of O(wa*wb) compares. This is the VPU/HBM-optimal form of the
+# reference's Roaring bitmap intersection (roaring_set.h and_cardinality)
+# with the container polymorphism replaced by a provably-small dense space.
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def count_hub_edges(rows, row_of, edges, valid, *, chunk: int):
+    """Σ popcount(row(u) & row(v)) over wide DAG edges — int64.
+
+    rows:  uint32[Nw, HW] hub bitmaps of wide endpoints
+    row_of: int32[V_pad+1] vertex -> row index (invalid -> Nw, an all-zero row)
+    """
+    ec = edges.reshape(-1, chunk, 2)
+    vc = valid.reshape(-1, chunk)
+
+    def body(acc, xs):
+        e, v = xs
+        ra = jnp.take(row_of, e[:, 0], mode="clip")
+        rb = jnp.take(row_of, e[:, 1], mode="clip")
+        a = jnp.take(rows, ra, axis=0, mode="clip")
+        b = jnp.take(rows, rb, axis=0, mode="clip")
+        cnt = jnp.sum(jax.lax.population_count(a & b), axis=1, dtype=jnp.int32)
+        return acc + jnp.sum(cnt * v, dtype=jnp.int64), None
+
+    total, _ = jax.lax.scan(body, jnp.int64(0), (ec, vc))
+    return total
+
+
+@functools.partial(jax.jit, static_argnames=("hub_words",))
+def build_hub_rows(nbr, hub_id, wide_ids, *, hub_words: int):
+    """uint32[Nw, HW] hub bitmaps: bit hub_id[w] set for w ∈ N⁺(wide_ids[i]).
+
+    hub_id: int32[V_pad+1], SENTINEL-clip slot and non-hub vertices map to
+    32*hub_words (overflow word, dropped).
+    """
+    r = jnp.take(nbr, wide_ids, axis=0, mode="clip")            # [Nw, D]
+    h = jnp.take(hub_id, r, mode="clip")                        # [Nw, D]
+    word = h >> 5
+    bit = jnp.uint32(1) << (h.astype(jnp.uint32) & 31)
+    Nw, D = r.shape
+    out = jnp.zeros((Nw, hub_words + 1), jnp.uint32)
+    rows_idx = jnp.repeat(jnp.arange(Nw, dtype=jnp.int32)[:, None], D, axis=1)
+    # distinct neighbors -> distinct bits, so add == bitwise-or here
+    out = out.at[rows_idx.reshape(-1), word.reshape(-1)].add(bit.reshape(-1),
+                                                             mode="drop")
+    return out[:, :hub_words]
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "width_a"))
+def count_semi_hub_edges(nbr, hub_id, row_of, rows, edges, valid, *,
+                         chunk: int, width_a: int):
+    """Σ |N⁺(u) ∩ N⁺(v)| for narrow-u x wide-v DAG edges — int64.
+
+    N⁺(v) ⊆ H_t, and intersection members must lie in H_t, so each element
+    of the narrow row is a single bit-test against v's hub bitmap:
+    O(width_a) gathers per edge instead of O(width_a * width_b) compares.
+    edges[:, 0] is the narrow endpoint, edges[:, 1] the wide one.
+    """
+    HW = rows.shape[1]
+    nbr_a = jax.lax.slice_in_dim(nbr, 0, width_a, axis=1)
+    ec = edges.reshape(-1, chunk, 2)
+    vc = valid.reshape(-1, chunk)
+
+    def body(acc, xs):
+        e, v = xs
+        a = jnp.take(nbr_a, e[:, 0], axis=0, mode="clip")      # [chunk, wa]
+        h = jnp.take(hub_id, a, mode="clip")                   # [chunk, wa]
+        rv = jnp.take(row_of, e[:, 1], mode="clip")            # [chunk]
+        in_hub = h < 32 * HW
+        word = jnp.minimum(h >> 5, HW - 1)
+        w = rows[rv[:, None], word]                            # [chunk, wa]
+        hit = (((w >> (h.astype(jnp.uint32) & 31)) & 1) == 1) & in_hub
+        cnt = jnp.sum(hit, axis=1, dtype=jnp.int32)
+        return acc + jnp.sum(cnt * v, dtype=jnp.int64), None
+
+    total, _ = jax.lax.scan(body, jnp.int64(0), (ec, vc))
+    return total
+
+
 # per-scan-step compare budget: chunk * width^2 ≈ this many compare ops
 _WORK_BUDGET = 1 << 26
 
@@ -180,7 +267,8 @@ class TrianglePlan:
 
     def __init__(self, g: CSRGraph, *, rank: np.ndarray | None = None,
                  chunk: int | None = None, method: str = "compare",
-                 tiers=DEFAULT_TIERS):
+                 tiers=DEFAULT_TIERS, hub_threshold: int | None = 65):
+        degree_oriented = rank is None
         if rank is None:
             rank = orient.degree_rank(g)
         dag = orient.orient(g, rank)
@@ -189,8 +277,60 @@ class TrianglePlan:
         self.dag = dag
         self.padded = pg
         self.method = method
+        self.hub = None
+
+        all_edges = dag.edge_array()
+        outdeg = np.asarray(dag.degrees)
+        narrow = all_edges
+        self.semi = []
+        # hub-bitmap paths (valid only under degree orientation — see
+        # count_hub_edges / count_semi_hub_edges)
+        if degree_oriented and hub_threshold is not None and len(all_edges):
+            t = hub_threshold
+            hub_mask = g.degrees >= t
+            n_hub = int(hub_mask.sum())
+            da, db = outdeg[all_edges[:, 0]], outdeg[all_edges[:, 1]]
+            wide_sel = (da >= t) & (db >= t)
+            semi_sel = ((da >= t) | (db >= t)) & ~wide_sel
+            if n_hub and (wide_sel.any() or semi_sel.any()):
+                hw = round_up(n_hub, 32) // 32
+                hub_id = np.full(pg.v_pad + 1, np.int32(32 * hw), dtype=np.int32)
+                # hub ids in ascending vertex order keeps rows reproducible
+                hub_id[: g.num_nodes][hub_mask] = np.arange(n_hub, dtype=np.int32)
+                wide_ids = np.nonzero(outdeg >= t)[0].astype(np.int32)
+                row_of = np.full(pg.v_pad + 1, np.int32(len(wide_ids)), np.int32)
+                row_of[wide_ids] = np.arange(len(wide_ids), dtype=np.int32)
+                rows = build_hub_rows(
+                    pg.nbr, jnp.asarray(hub_id), jnp.asarray(wide_ids),
+                    hub_words=hw)
+                # all-zero guard row for clip-gathers
+                rows = jnp.concatenate(
+                    [rows, jnp.zeros((1, hw), jnp.uint32)], axis=0)
+                self._hub_tables = (jnp.asarray(hub_id), jnp.asarray(row_of), rows)
+                if wide_sel.any():
+                    wc = chunk or int(min(1 << 15, max(1 << 10, (1 << 24) // hw)))
+                    wedges, wvalid = _pad_edges(all_edges[wide_sel], wc)
+                    self.hub = (wc, jnp.asarray(wedges), jnp.asarray(wvalid))
+                if semi_sel.any():
+                    # narrow endpoint first, bucketed by narrow-side width
+                    se = all_edges[semi_sel]
+                    swap = outdeg[se[:, 0]] >= t
+                    se[swap] = se[swap][:, ::-1]
+                    semi_widths = [w for w in sorted(tiers) if w < t] + [
+                        int(round_up(t - 1, 16))]
+                    nb = _bucketize(outdeg[se[:, 0]], semi_widths)
+                    for i, wa in enumerate(semi_widths):
+                        part = se[nb == i]
+                        if not len(part):
+                            continue
+                        sc = chunk or int(min(1 << 15, max(1 << 10, (1 << 23) // wa)))
+                        sedges, svalid = _pad_edges(part, sc)
+                        self.semi.append(
+                            (wa, sc, jnp.asarray(sedges), jnp.asarray(svalid)))
+                narrow = all_edges[~wide_sel & ~semi_sel]
+
         widths = _tier_widths(pg.d_pad, tiers)
-        parts = partition_edges_2d(dag.edge_array(), np.asarray(dag.degrees), widths)
+        parts = partition_edges_2d(narrow, outdeg, widths)
         self.tiers = []
         for (wa, wb), part in parts.items():
             c = chunk or tier_chunk_2d(wa, wb)
@@ -199,11 +339,21 @@ class TrianglePlan:
 
     def run_async(self):
         """Launch all tier kernels; returns list of device scalars."""
-        return [
+        out = [
             count_dag_edges(self.padded.nbr, edges, valid,
                             chunk=c, method=self.method, width_a=wa, width_b=wb)
             for wa, wb, c, edges, valid in self.tiers
         ]
+        if self.hub is not None:
+            hub_id, row_of, rows = self._hub_tables
+            wc, wedges, wvalid = self.hub
+            out.append(count_hub_edges(rows, row_of, wedges, wvalid, chunk=wc))
+        for wa, sc, sedges, svalid in self.semi:
+            hub_id, row_of, rows = self._hub_tables
+            out.append(count_semi_hub_edges(
+                self.padded.nbr, hub_id, row_of, rows, sedges, svalid,
+                chunk=sc, width_a=wa))
+        return out
 
     def run(self) -> int:
         return sum(int(x) for x in jax.block_until_ready(self.run_async()))

@@ -1,0 +1,304 @@
+"""Compressed graph representations — k-bit, varint, hybrid (bit-tree role).
+
+Role of the reference's Log(Graph) layer (gms/representations/graphs/):
+  * Kbit_Adjacency_Array (log_graph/kbit_adjacency_array.h:17-60): neighbor
+    ids packed at ⌈log2 n⌉ bits, global width — here `KbitGraph`, packed
+    into uint32 lanes with a fully vectorized device decode (gather + two
+    shifts per lane), so every padded-row kernel in the suite can run
+    straight off the compressed form.
+  * per-neighborhood local widths (`_Local` variants) — here
+    `KbitGraphBucketed`: rows grouped into width buckets {8,16,24,32}, one
+    packed array per bucket (ragged per-row widths do not map to a vector
+    unit; bucketing keeps the footprint win AND static shapes).
+  * Varint byte-based coders (coders/varint_byte_based_graph.h:9-70,
+    varint_utils.h:26-115): delta + continuation-bit bytes — here host-side
+    vectorized codecs (`varint_encode_graph` / `varint_decode_graph`), the
+    storage/IO footprint option (sequential decode is hostile to the VPU;
+    k-bit is the compute-from-compressed path on device).
+  * Bit_Tree_Graph per-vertex encoding choice (log_graph/bit_tree_graph.h:
+    26-50) — here `HybridGraph`: per-row choice between k-bit packing and a
+    dense bitmap over the vertex space, by which is smaller.
+
+All decoders return SENTINEL-padded int32 rows, so compressed graphs are
+drop-in inputs for every set-algebra kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gms_tpu.graphs.csr import CSRGraph
+from gms_tpu.graphs.tiles import PaddedGraph, SENTINEL, round_up
+
+
+def _bits_for(n: int) -> int:
+    return max(1, int(np.ceil(np.log2(max(n, 2)))))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "d_pad"))
+def kbit_decode_rows(packed, deg, vids, *, k: int, d_pad: int):
+    """Decode padded neighbor rows from k-bit packed words.
+
+    packed: uint32[V_pad, W]; vids: int32[B] -> int32[B, d_pad] rows.
+    """
+    rows = jnp.take(packed, vids, axis=0, mode="clip")          # [B, W]
+    d = jnp.take(deg, vids, mode="clip")                        # [B]
+    j = jnp.arange(d_pad, dtype=jnp.int32)                      # lanes
+    bitpos = j * k
+    w0i, s = bitpos >> 5, (bitpos & 31).astype(jnp.uint32)
+    W = packed.shape[1]
+    w0 = jnp.take(rows, w0i, axis=1)                            # [B, d_pad]
+    w1 = jnp.take(rows, jnp.minimum(w0i + 1, W - 1), axis=1)
+    lo = w0 >> s[None, :]
+    hi = jnp.where(s == 0, jnp.uint32(0), w1 << (jnp.uint32(32) - s)[None, :])
+    val = (lo | hi) & jnp.uint32((1 << k) - 1)
+    out = val.astype(jnp.int32)
+    return jnp.where(j[None, :] < d[:, None], out, SENTINEL)
+
+
+class KbitGraph:
+    """Global-width k-bit packed adjacency (Kbit_Adjacency_Array role)."""
+
+    def __init__(self, packed, deg, k: int, d_pad: int, num_nodes: int,
+                 num_edges: int):
+        self.packed = packed        # uint32[V_pad, W]
+        self.deg = deg              # int32[V_pad]
+        self.k = k
+        self.d_pad = d_pad
+        self.num_nodes = num_nodes
+        self.num_edges = num_edges
+
+    @classmethod
+    def from_csr(cls, g: CSRGraph, *, k: int | None = None) -> "KbitGraph":
+        pg = PaddedGraph.from_csr(g)
+        k = k or _bits_for(g.num_nodes)
+        nbr = np.asarray(pg.nbr).astype(np.uint64)
+        nbr[nbr == np.uint64(np.uint32(SENTINEL))] = 0  # padding packs as 0
+        V, D = nbr.shape
+        W = round_up(D * k, 32) // 32
+        packed = np.zeros((V, W), dtype=np.uint32)
+        j = np.arange(D)
+        bitpos = j * k
+        w0i = bitpos >> 5
+        s = (bitpos & 31).astype(np.uint64)
+        lo = (nbr << s) & np.uint64(0xFFFFFFFF)
+        # scatter-accumulate (distinct bit ranges per lane -> OR == add safe
+        # only within one row-word; use np.bitwise_or.at)
+        rows = np.repeat(np.arange(V), D).reshape(V, D)
+        np.bitwise_or.at(packed, (rows, np.broadcast_to(w0i, (V, D))),
+                         lo.astype(np.uint32))
+        hi_mask = s + np.uint64(k) > 32
+        if hi_mask.any():
+            hi_vals = (nbr >> (np.uint64(32) - s))
+            sel = np.broadcast_to(hi_mask, (V, D))
+            np.bitwise_or.at(
+                packed, (rows[sel], np.broadcast_to(w0i + 1, (V, D))[sel]),
+                hi_vals.astype(np.uint32)[sel])
+        return cls(jnp.asarray(packed), pg.deg, k, D, g.num_nodes,
+                   g.num_edges)
+
+    @property
+    def nbr(self):
+        """Materialized padded rows (for whole-graph kernels)."""
+        return self.rows(jnp.arange(self.packed.shape[0], dtype=jnp.int32))
+
+    def rows(self, vids):
+        return kbit_decode_rows(self.packed, self.deg, vids, k=self.k,
+                                d_pad=self.d_pad)
+
+    def bits_per_edge(self) -> float:
+        return self.packed.size * 32 / max(self.num_edges, 1)
+
+
+class KbitGraphBucketed:
+    """Per-neighborhood local widths, bucketed ({8,16,24,32} bits) —
+    the `_Local` variants' TPU form."""
+
+    BUCKETS = (8, 16, 24, 32)
+
+    def __init__(self, parts, num_nodes: int, num_edges: int, v_pad: int):
+        self.parts = parts          # {k: (KbitGraph-like, vids)}
+        self.num_nodes = num_nodes
+        self.num_edges = num_edges
+        self.v_pad = v_pad
+
+    @classmethod
+    def from_csr(cls, g: CSRGraph) -> "KbitGraphBucketed":
+        # row's local width = bits of its max neighbor id
+        maxn = np.zeros(g.num_nodes, dtype=np.int64)
+        for v in range(g.num_nodes):
+            row = g.out_neigh(v)
+            maxn[v] = row.max(initial=1)
+        kreq = np.ceil(np.log2(np.maximum(maxn + 1, 2))).astype(np.int64)
+        parts = {}
+        pg_vpad = round_up(max(g.num_nodes, 1), 8)
+        for kb in cls.BUCKETS:
+            sel = (kreq <= kb)
+            for smaller in cls.BUCKETS:
+                if smaller < kb:
+                    sel &= kreq > smaller
+            vids = np.nonzero(sel)[0].astype(np.int32)
+            if not len(vids):
+                continue
+            sub = _induce_rows(g, vids)
+            parts[kb] = (KbitGraph.from_csr(sub, k=kb), vids)
+        return cls(parts, g.num_nodes, g.num_edges, pg_vpad)
+
+    def decode_all(self) -> np.ndarray:
+        """int32[V_pad, D_pad] padded rows (host), for verification."""
+        d_pad = max((p.d_pad for p, _ in self.parts.values()), default=1)
+        out = np.full((self.v_pad, d_pad), SENTINEL, dtype=np.int32)
+        for kb, (kg, vids) in self.parts.items():
+            rows = np.asarray(kg.rows(jnp.arange(len(vids), dtype=jnp.int32)))
+            out[vids, : kg.d_pad] = rows[: len(vids)]
+        return out
+
+    def bits_per_edge(self) -> float:
+        total = sum(int(p.packed.size) * 32 for p, _ in self.parts.values())
+        return total / max(self.num_edges, 1)
+
+
+def _induce_rows(g: CSRGraph, vids: np.ndarray) -> CSRGraph:
+    """CSR containing only the rows of vids (compacted), ids unchanged."""
+    indptr = np.zeros(len(vids) + 1, dtype=np.int64)
+    chunks = []
+    for i, v in enumerate(vids):
+        row = g.out_neigh(int(v))
+        chunks.append(row)
+        indptr[i + 1] = indptr[i] + len(row)
+    indices = (np.concatenate(chunks) if chunks else
+               np.zeros(0, dtype=np.int32))
+    return CSRGraph(indptr, indices, directed=True)
+
+
+# ---------------------------------------------------------------------------
+# varint (delta + continuation bytes) — host storage codec
+# ---------------------------------------------------------------------------
+
+def varint_encode_graph(g: CSRGraph) -> dict:
+    """Delta + varint bytes per row (varint_byte_based_graph.h role).
+
+    First value per row is the raw id; the rest are gaps-1 (rows are sorted
+    strictly increasing after squish).
+    """
+    payload = bytearray()
+    offsets = np.zeros(g.num_nodes + 1, dtype=np.int64)
+    for v in range(g.num_nodes):
+        row = g.out_neigh(v).astype(np.int64)
+        vals = np.empty_like(row)
+        if len(row):
+            vals[0] = row[0]
+            vals[1:] = row[1:] - row[:-1] - 1
+        for x in vals:
+            x = int(x)
+            while True:
+                b = x & 0x7F
+                x >>= 7
+                payload.append(b | (0x80 if x else 0))
+                if not x:
+                    break
+        offsets[v + 1] = len(payload)
+    return {"payload": bytes(payload), "offsets": offsets,
+            "num_nodes": g.num_nodes, "directed": g.directed()}
+
+
+def varint_decode_graph(data: dict) -> CSRGraph:
+    buf = np.frombuffer(data["payload"], dtype=np.uint8)
+    offsets = data["offsets"]
+    n = data["num_nodes"]
+    # vectorized continuation-bit parse over the whole payload
+    cont = (buf & 0x80) > 0
+    ends = np.nonzero(~cont)[0]
+    starts = np.concatenate([[0], ends[:-1] + 1])
+    vals = np.zeros(len(ends), dtype=np.int64)
+    width = ends - starts + 1
+    for b in range(int(width.max(initial=0))):
+        sel = width > b
+        vals[sel] |= (buf[starts[sel] + b] & 0x7F).astype(np.int64) << (7 * b)
+    # map token index ranges back to rows
+    tok_of_byte = np.zeros(len(buf) + 1, dtype=np.int64)
+    tok_of_byte[ends + 1] = 1
+    tok_of_byte = np.cumsum(tok_of_byte)
+    indptr = tok_of_byte[offsets]
+    indices = np.zeros(indptr[-1], dtype=np.int64)
+    for v in range(n):
+        row_vals = vals[indptr[v]:indptr[v + 1]]
+        if len(row_vals):
+            row = np.cumsum(row_vals + 1) - 1
+            row[0] = row_vals[0]
+            row[1:] = row_vals[0] + np.cumsum(row_vals[1:] + 1)
+            indices[indptr[v]:indptr[v + 1]] = row
+    return CSRGraph(indptr, indices.astype(np.int32),
+                    directed=data["directed"])
+
+
+# ---------------------------------------------------------------------------
+# hybrid per-row representation (Bit_Tree_Graph role)
+# ---------------------------------------------------------------------------
+
+class HybridGraph:
+    """Per-row k-bit vs dense-bitmap choice by footprint
+    (bit_tree_graph.h:26-50 Offset_Or_Address role)."""
+
+    def __init__(self, kbit: KbitGraph, bitmap_rows, bitmap_vids,
+                 num_nodes: int, num_edges: int):
+        self.kbit = kbit
+        self.bitmap_rows = bitmap_rows    # uint32[Nb, V_words]
+        self.bitmap_vids = bitmap_vids    # int32[Nb]
+        self.num_nodes = num_nodes
+        self.num_edges = num_edges
+
+    @classmethod
+    def from_csr(cls, g: CSRGraph) -> "HybridGraph":
+        k = _bits_for(g.num_nodes)
+        vwords = round_up(max(g.num_nodes, 32), 32) // 32
+        deg = g.degrees
+        # bitmap wins when deg * k > V bits
+        use_bitmap = deg.astype(np.int64) * k > 32 * vwords
+        bm_vids = np.nonzero(use_bitmap)[0].astype(np.int32)
+        bm = np.zeros((len(bm_vids), vwords), dtype=np.uint32)
+        for i, v in enumerate(bm_vids):
+            row = g.out_neigh(int(v))
+            np.bitwise_or.at(bm[i], row >> 5,
+                             (np.uint32(1) << (row.astype(np.uint32) & 31)))
+        # k-bit part stores non-bitmap rows (bitmap rows truncated to empty)
+        g2 = _mask_rows(g, bm_vids)
+        return cls(KbitGraph.from_csr(g2, k=k), jnp.asarray(bm),
+                   jnp.asarray(bm_vids), g.num_nodes, g.num_edges)
+
+    def decode_all(self) -> np.ndarray:
+        from gms_tpu.sets.bitmap_ops import cardinality, to_ids
+
+        kb = np.asarray(self.kbit.nbr)
+        width = kb.shape[1]
+        if len(self.bitmap_vids):
+            bm_deg = int(np.asarray(cardinality(self.bitmap_rows)).max(initial=0))
+            width = max(width, round_up(max(bm_deg, 1), 128))
+        out = np.full((kb.shape[0], width), SENTINEL, dtype=np.int32)
+        out[:, : kb.shape[1]] = kb
+        if len(self.bitmap_vids):
+            w = min(width, self.bitmap_rows.shape[1] * 32)
+            ids = np.asarray(to_ids(self.bitmap_rows, w))
+            out[np.asarray(self.bitmap_vids), :w] = ids
+        return out
+
+    def bits_per_edge(self) -> float:
+        total = int(self.kbit.packed.size) * 32 + int(self.bitmap_rows.size) * 32
+        return total / max(self.num_edges, 1)
+
+
+def _mask_rows(g: CSRGraph, vids: np.ndarray) -> CSRGraph:
+    keep = np.ones(g.num_nodes, dtype=bool)
+    keep[vids] = False
+    indptr = np.zeros(g.num_nodes + 1, dtype=np.int64)
+    chunks = []
+    for v in range(g.num_nodes):
+        row = g.out_neigh(v) if keep[v] else np.zeros(0, np.int32)
+        chunks.append(row)
+        indptr[v + 1] = indptr[v] + len(row)
+    indices = (np.concatenate(chunks) if chunks else np.zeros(0, np.int32))
+    return CSRGraph(indptr, indices.astype(np.int32), directed=True)

@@ -1,0 +1,119 @@
+"""Compressed representations: k-bit / bucketed / varint / hybrid round-trips
+(role of testing/coders.cpp: varint round-trips + compressed neighborhood
+decode vs CSR) and permuters."""
+
+import numpy as np
+import pytest
+
+from gms_tpu.graphs import compressed as cp
+from gms_tpu.graphs import permuters
+from gms_tpu.graphs.tiles import PaddedGraph, SENTINEL
+from gms_tpu.io.builder import build_csr
+from gms_tpu.io.generators import generate_rmat_el
+
+from conftest import random_graph
+
+
+@pytest.fixture(scope="module")
+def graphs():
+    return [
+        build_csr(random_graph(50, 0.15, 0), num_nodes=50),
+        build_csr(generate_rmat_el(8, 6, seed=1), num_nodes=256),
+        build_csr(np.zeros((0, 2), dtype=np.int64), num_nodes=5),
+    ]
+
+
+def padded_rows(g):
+    return np.asarray(PaddedGraph.from_csr(g).nbr)
+
+
+def test_kbit_roundtrip(graphs):
+    for g in graphs:
+        kg = cp.KbitGraph.from_csr(g)
+        got = np.asarray(kg.nbr)
+        want = padded_rows(g)
+        np.testing.assert_array_equal(got[:, : want.shape[1]], want)
+        assert kg.bits_per_edge() > 0
+
+
+def test_kbit_row_gather(graphs):
+    g = graphs[1]
+    kg = cp.KbitGraph.from_csr(g)
+    import jax.numpy as jnp
+
+    vids = jnp.asarray(np.array([0, 3, 17, 255], dtype=np.int32))
+    got = np.asarray(kg.rows(vids))
+    want = padded_rows(g)[np.array([0, 3, 17, 255])]
+    np.testing.assert_array_equal(got[:, : want.shape[1]], want)
+
+
+def test_kbit_footprint_smaller():
+    g = build_csr(generate_rmat_el(8, 6, seed=2), num_nodes=256)
+    kg = cp.KbitGraph.from_csr(g)
+    # 8-bit ids vs 32-bit: packed must be < half the padded int32 layout
+    assert kg.bits_per_edge() < 32 * padded_rows(g).size / g.num_edges / 2
+
+
+def test_kbit_bucketed_roundtrip(graphs):
+    for g in graphs[:2]:
+        kb = cp.KbitGraphBucketed.from_csr(g)
+        got = kb.decode_all()
+        want = padded_rows(g)
+        np.testing.assert_array_equal(got[: want.shape[0], : want.shape[1]],
+                                      want)
+
+
+def test_varint_roundtrip(graphs):
+    for g in graphs:
+        data = cp.varint_encode_graph(g)
+        g2 = cp.varint_decode_graph(data)
+        assert g2 == g
+        assert len(data["payload"]) < max(4 * g.num_edges, 1) or g.num_edges == 0
+
+
+def test_hybrid_roundtrip():
+    # a graph with a hub row (dense) plus sparse rows
+    el = [[0, i] for i in range(1, 200)] + [[i, i + 1] for i in range(1, 199)]
+    g = build_csr(np.array(el, dtype=np.int64), num_nodes=200)
+    h = cp.HybridGraph.from_csr(g)
+    assert len(h.bitmap_vids) >= 1  # the hub went dense
+    got = h.decode_all()
+    want = padded_rows(g)
+    np.testing.assert_array_equal(got[: want.shape[0], : want.shape[1]], want)
+
+
+@pytest.mark.parametrize("variant", permuters.VARIANTS)
+def test_permuters_are_permutations(variant, graphs):
+    g = graphs[0]
+    pm = permuters.permutation_map(g, variant, seed=3)
+    assert sorted(pm.tolist()) == list(range(g.num_nodes))
+    g2 = permuters.apply_permutation(g, variant, seed=3)
+    assert g2.num_edges == g.num_edges
+    # isomorphism sanity: degree multiset preserved
+    assert sorted(g2.degrees.tolist()) == sorted(g.degrees.tolist())
+
+
+def test_gap_bfs_improves_gaps():
+    g = build_csr(generate_rmat_el(9, 4, seed=4), num_nodes=512)
+    g_rand = permuters.apply_permutation(g, "random", seed=5)
+    before = permuters.average_gap_bits(g_rand)
+    after = permuters.average_gap_bits(
+        permuters.apply_permutation(g_rand, "gap_bfs"))
+    assert after < before
+
+
+def test_kernels_run_on_compressed():
+    """Compressed graphs are drop-in inputs for set kernels (decode path)."""
+    from gms_tpu.algorithms.triangle_count import triangle_count_oracle
+    from gms_tpu.sets import ops
+    import jax.numpy as jnp
+
+    g = build_csr(random_graph(40, 0.3, 6), num_nodes=40)
+    kg = cp.KbitGraph.from_csr(g)
+    nbr = kg.nbr
+    e = g.edge_array()
+    e = e[e[:, 0] < e[:, 1]]
+    a = jnp.take(nbr, jnp.asarray(e[:, 0]), axis=0)
+    b = jnp.take(nbr, jnp.asarray(e[:, 1]), axis=0)
+    total = int(jnp.sum(ops.intersect_count(a, b), dtype=jnp.int64))
+    assert total // 3 == triangle_count_oracle(g)

@@ -63,3 +63,18 @@ def test_per_vertex(fixture_graphs):
     got = tc.triangle_count_per_vertex(g, chunk=64)
     assert got.sum() == 3 * tc.triangle_count(g, chunk=64)
     assert np.array_equal(got, tc.triangle_count_per_vertex_oracle(g))
+
+
+def test_hub_bitmap_paths():
+    """Force the hub/semi-hub/compare three-way split on a small graph."""
+    from gms_tpu.algorithms.triangle_count import TrianglePlan, triangle_count_oracle
+    from conftest import random_graph
+    from gms_tpu.io.builder import build_csr
+
+    for seed in range(3):
+        g = build_csr(random_graph(120, 0.25, seed), num_nodes=120)
+        want = triangle_count_oracle(g)
+        for t in (2, 8, 20):
+            plan = TrianglePlan(g, hub_threshold=t)
+            assert plan.run() == want, (seed, t)
+        assert TrianglePlan(g, hub_threshold=None).run() == want
