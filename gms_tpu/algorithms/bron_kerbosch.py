@@ -180,6 +180,7 @@ def bron_kerbosch(
     ordering: str = "degeneracy",
     root_chunk: int = DEFAULT_ROOT_CHUNK,
     collect: bool = False,
+    roots: np.ndarray | None = None,
 ):
     """Enumerate/count all maximal cliques of the undirected graph g.
 
@@ -188,6 +189,9 @@ def bron_kerbosch(
     maximal_clique_enum_bron_kerbosch.cc:31-93).
 
     Returns count (int) if collect=False, else (count, list[frozenset[int]]).
+    roots limits the Eppstein root set (each maximal clique is reported at
+    its lowest-ranked member, so disjoint root sets sum exactly — the
+    device-parallel fan-out hook, parallel/multi.py).
     """
     n = g.num_nodes
     if n == 0:
@@ -216,8 +220,9 @@ def bron_kerbosch(
     total = 0
     cliques: list[frozenset] = []
     pad_id = np.int32(pg.v_pad)
-    roots_all = np.arange(n, dtype=np.int32)
-    for start in range(0, n, root_chunk):
+    roots_all = (np.arange(n, dtype=np.int32) if roots is None
+                 else np.asarray(roots, dtype=np.int32))
+    for start in range(0, len(roots_all), root_chunk):
         chunk = roots_all[start : start + root_chunk]
         C = len(chunk)
         if C < root_chunk:

@@ -214,37 +214,6 @@ def build_hub_rows(nbr, hub_id, wide_ids, *, hub_words: int):
     return out[:, :hub_words]
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "width_a"))
-def count_semi_hub_edges(nbr, hub_id, row_of, rows, edges, valid, *,
-                         chunk: int, width_a: int):
-    """Σ |N⁺(u) ∩ N⁺(v)| for narrow-u x wide-v DAG edges — int64.
-
-    N⁺(v) ⊆ H_t, and intersection members must lie in H_t, so each element
-    of the narrow row is a single bit-test against v's hub bitmap:
-    O(width_a) gathers per edge instead of O(width_a * width_b) compares.
-    edges[:, 0] is the narrow endpoint, edges[:, 1] the wide one.
-    """
-    HW = rows.shape[1]
-    nbr_a = jax.lax.slice_in_dim(nbr, 0, width_a, axis=1)
-    ec = edges.reshape(-1, chunk, 2)
-    vc = valid.reshape(-1, chunk)
-
-    def body(acc, xs):
-        e, v = xs
-        a = jnp.take(nbr_a, e[:, 0], axis=0, mode="clip")      # [chunk, wa]
-        h = jnp.take(hub_id, a, mode="clip")                   # [chunk, wa]
-        rv = jnp.take(row_of, e[:, 1], mode="clip")            # [chunk]
-        in_hub = h < 32 * HW
-        word = jnp.minimum(h >> 5, HW - 1)
-        w = rows[rv[:, None], word]                            # [chunk, wa]
-        hit = (((w >> (h.astype(jnp.uint32) & 31)) & 1) == 1) & in_hub
-        cnt = jnp.sum(hit, axis=1, dtype=jnp.int32)
-        return acc + jnp.sum(cnt * v, dtype=jnp.int64), None
-
-    total, _ = jax.lax.scan(body, jnp.int64(0), (ec, vc))
-    return total
-
-
 # per-scan-step compare budget: chunk * width^2 ≈ this many compare ops
 _WORK_BUDGET = 1 << 26
 
@@ -282,52 +251,39 @@ class TrianglePlan:
         all_edges = dag.edge_array()
         outdeg = np.asarray(dag.degrees)
         narrow = all_edges
-        self.semi = []
-        # hub-bitmap paths (valid only under degree orientation — see
-        # count_hub_edges / count_semi_hub_edges)
+        # hub-bitmap path (valid only under degree orientation — see
+        # count_hub_edges): if EITHER endpoint has out-degree >= t, every
+        # intersection member x satisfies deg(x) >= deg(wide endpoint) >= t,
+        # so x ∈ H_t and the whole count is popcount(bits_u & bits_v) over
+        # hub bitmaps (bits_v = N⁺(v) ∩ H_t) — HBM-streaming word work.
         if degree_oriented and hub_threshold is not None and len(all_edges):
             t = hub_threshold
             hub_mask = g.degrees >= t
             n_hub = int(hub_mask.sum())
             da, db = outdeg[all_edges[:, 0]], outdeg[all_edges[:, 1]]
-            wide_sel = (da >= t) & (db >= t)
-            semi_sel = ((da >= t) | (db >= t)) & ~wide_sel
-            if n_hub and (wide_sel.any() or semi_sel.any()):
+            hub_sel = (da >= t) | (db >= t)
+            if n_hub and hub_sel.any():
                 hw = round_up(n_hub, 32) // 32
                 hub_id = np.full(pg.v_pad + 1, np.int32(32 * hw), dtype=np.int32)
                 # hub ids in ascending vertex order keeps rows reproducible
                 hub_id[: g.num_nodes][hub_mask] = np.arange(n_hub, dtype=np.int32)
-                wide_ids = np.nonzero(outdeg >= t)[0].astype(np.int32)
-                row_of = np.full(pg.v_pad + 1, np.int32(len(wide_ids)), np.int32)
-                row_of[wide_ids] = np.arange(len(wide_ids), dtype=np.int32)
+                hedges = all_edges[hub_sel]
+                endpoint_ids = np.unique(hedges.reshape(-1)).astype(np.int32)
+                row_of = np.full(pg.v_pad + 1, np.int32(len(endpoint_ids)),
+                                 np.int32)
+                row_of[endpoint_ids] = np.arange(len(endpoint_ids),
+                                                 dtype=np.int32)
                 rows = build_hub_rows(
-                    pg.nbr, jnp.asarray(hub_id), jnp.asarray(wide_ids),
+                    pg.nbr, jnp.asarray(hub_id), jnp.asarray(endpoint_ids),
                     hub_words=hw)
                 # all-zero guard row for clip-gathers
                 rows = jnp.concatenate(
                     [rows, jnp.zeros((1, hw), jnp.uint32)], axis=0)
-                self._hub_tables = (jnp.asarray(hub_id), jnp.asarray(row_of), rows)
-                if wide_sel.any():
-                    wc = chunk or int(min(1 << 15, max(1 << 10, (1 << 24) // hw)))
-                    wedges, wvalid = _pad_edges(all_edges[wide_sel], wc)
-                    self.hub = (wc, jnp.asarray(wedges), jnp.asarray(wvalid))
-                if semi_sel.any():
-                    # narrow endpoint first, bucketed by narrow-side width
-                    se = all_edges[semi_sel]
-                    swap = outdeg[se[:, 0]] >= t
-                    se[swap] = se[swap][:, ::-1]
-                    semi_widths = [w for w in sorted(tiers) if w < t] + [
-                        int(round_up(t - 1, 16))]
-                    nb = _bucketize(outdeg[se[:, 0]], semi_widths)
-                    for i, wa in enumerate(semi_widths):
-                        part = se[nb == i]
-                        if not len(part):
-                            continue
-                        sc = chunk or int(min(1 << 15, max(1 << 10, (1 << 23) // wa)))
-                        sedges, svalid = _pad_edges(part, sc)
-                        self.semi.append(
-                            (wa, sc, jnp.asarray(sedges), jnp.asarray(svalid)))
-                narrow = all_edges[~wide_sel & ~semi_sel]
+                wc = chunk or int(min(1 << 15, max(1 << 10, (1 << 24) // hw)))
+                wedges, wvalid = _pad_edges(hedges, wc)
+                self.hub = (wc, jnp.asarray(row_of), rows,
+                            jnp.asarray(wedges), jnp.asarray(wvalid))
+                narrow = all_edges[~hub_sel]
 
         widths = _tier_widths(pg.d_pad, tiers)
         parts = partition_edges_2d(narrow, outdeg, widths)
@@ -345,14 +301,8 @@ class TrianglePlan:
             for wa, wb, c, edges, valid in self.tiers
         ]
         if self.hub is not None:
-            hub_id, row_of, rows = self._hub_tables
-            wc, wedges, wvalid = self.hub
+            wc, row_of, rows, wedges, wvalid = self.hub
             out.append(count_hub_edges(rows, row_of, wedges, wvalid, chunk=wc))
-        for wa, sc, sedges, svalid in self.semi:
-            hub_id, row_of, rows = self._hub_tables
-            out.append(count_semi_hub_edges(
-                self.padded.nbr, hub_id, row_of, rows, sedges, svalid,
-                chunk=sc, width_a=wa))
         return out
 
     def run(self) -> int:

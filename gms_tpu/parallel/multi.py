@@ -1,0 +1,166 @@
+"""Multi-chip algorithm scaling beyond the TC edge shard (sharding.py).
+
+Three patterns, replacing the reference's single-node OpenMP scheduling
+(SURVEY.md §2.13) at pod-slice scale:
+
+  * `sharded_kclique_count` — roots sharded over the mesh work axis inside
+    ONE jitted shard_map program: per-shard local-adjacency build + the
+    full k-2 level expansion with STATIC capacities, per-shard counts
+    psum-reduced. Static caps can overflow on skewed shards; the kernel
+    counts dropped children and the host retries the chunk with doubled
+    caps (count-then-emit, distributed edition — capacity is part of the
+    compiled shape, so overflow is a recompile, never a wrong answer).
+  * `device_parallel_map` — round-robin placement of independent chunk
+    jobs onto devices (jax async dispatch overlaps them); the TPU analog
+    of the reference's Slurm job fan-out, used for irregular hosts loops
+    (Bron-Kerbosch) whose level structure diverges per shard.
+  * `sharded_pair_scores` — similarity scoring with pair batches sharded
+    and adjacency replicated (the AUC inner loop, evaluation.h:137-174).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from gms_tpu.graphs.csr import CSRGraph
+from gms_tpu.graphs.tiles import PaddedGraph
+from gms_tpu.parallel.sharding import WORK_AXIS, make_mesh
+from gms_tpu.preprocessing import degeneracy, orient
+from gms_tpu.algorithms.k_clique import build_local_adj, expand_level
+
+__all__ = [
+    "sharded_kclique_count", "device_parallel_map", "sharded_pair_scores",
+    "sharded_bron_kerbosch_count",
+]
+
+
+def _sharded_kclique_step(mesh, *, k: int, w_words: int, caps: tuple):
+    """One shard_map program: roots[C] sharded -> (count, overflow)."""
+
+    def body(nbr, roots):
+        roots = roots.reshape(-1)
+        adj, S = build_local_adj(nbr, roots, w_words=w_words)
+        C = roots.shape[0]
+        R = jnp.arange(C, dtype=jnp.int32)
+        overflow = jnp.int64(0)
+        remaining = k - 1
+        for lvl in range(k - 2):
+            cap = caps[lvl]
+            S, R, n = expand_level(S, R, adj, cap=cap, need=remaining - 1)
+            overflow = overflow + jnp.maximum(n - cap, 0)
+            remaining -= 1
+        cnt = jnp.sum(jax.lax.population_count(S), dtype=jnp.int64)
+        return (jax.lax.psum(cnt, WORK_AXIS),
+                jax.lax.psum(overflow, WORK_AXIS))
+
+    # check_vma=False: expand_level's scan carries start as replicated
+    # literals that become device-varying — semantically fine here (each
+    # shard runs an independent expansion; only the psum crosses shards)
+    return jax.jit(shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, None), P(WORK_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    ))
+
+
+def sharded_kclique_count(
+    g: CSRGraph, k: int, mesh: Mesh | None = None, *,
+    rank: np.ndarray | None = None, root_chunk_per_shard: int = 256,
+) -> int:
+    """Exact k-clique count with roots sharded over the mesh."""
+    if k < 3:
+        from gms_tpu.algorithms.k_clique import kclique_count
+
+        return kclique_count(g, k)
+    mesh = mesh or make_mesh()
+    n_shards = int(np.prod(mesh.devices.shape))
+    if rank is None:
+        rank, _ = degeneracy.degeneracy_ordering_rank(g)
+    dag = orient.orient(g, rank)
+    pg = PaddedGraph.from_csr(dag, lane=32)
+    W, WW = pg.d_pad, pg.d_pad // 32
+    deg = np.asarray(dag.degrees)
+    roots = np.nonzero(deg >= k - 1)[0].astype(np.int32)
+    if len(roots) == 0:
+        return 0
+    # interleave roots so shards get similar degree mixes
+    pad_id = np.int32(pg.v_pad)
+    step = root_chunk_per_shard * n_shards
+    total = 0
+    nbr = pg.nbr
+    for start in range(0, len(roots), step):
+        chunk = roots[start : start + step]
+        if len(chunk) < step:
+            chunk = np.concatenate(
+                [chunk, np.full(step - len(chunk), pad_id, np.int32)])
+        # initial caps: level-1 fanout is bounded by chunk * W; later levels
+        # start at the same bound and double on overflow
+        caps = [max(256, root_chunk_per_shard * W)] * (k - 2)
+        while True:
+            fn = _sharded_kclique_step(mesh, k=k, w_words=WW,
+                                       caps=tuple(caps))
+            cnt, overflow = fn(nbr, jnp.asarray(chunk))
+            if int(overflow) == 0:
+                total += int(cnt)
+                break
+            caps = [c * 2 for c in caps]
+    return total
+
+
+def device_parallel_map(fn, jobs, devices=None):
+    """Run independent jobs round-robin over devices; returns results.
+
+    fn(job, device) must place its inputs with jax.device_put(..., device)
+    and return device arrays (dispatch is async, so all devices overlap).
+    """
+    devices = list(devices) if devices is not None else jax.devices()
+    handles = [fn(job, devices[i % len(devices)]) for i, job in enumerate(jobs)]
+    return [jax.block_until_ready(h) for h in handles]
+
+
+def sharded_bron_kerbosch_count(
+    g: CSRGraph, mesh_devices=None, *, ordering: str = "degeneracy",
+    root_chunk: int = 256,
+) -> int:
+    """Maximal-clique count with root chunks fanned out over devices.
+
+    BK's level structure diverges per chunk (data-dependent recursion
+    depth), so chunks are independent device-parallel jobs rather than one
+    shard_map program — the reference's dynamic OpenMP schedule
+    (eppsteinPAR.h:31), lifted to devices.
+    """
+    from gms_tpu.algorithms import bron_kerbosch as bk
+
+    devices = list(mesh_devices) if mesh_devices is not None else jax.devices()
+    n = g.num_nodes
+    if n == 0:
+        return 0
+    total = 0
+    starts = list(range(0, n, root_chunk))
+    for i, s in enumerate(starts):
+        dev = devices[i % len(devices)]
+        with jax.default_device(dev):
+            total += bk.bron_kerbosch(
+                g, ordering=ordering, root_chunk=root_chunk,
+                roots=np.arange(s, min(s + root_chunk, n), dtype=np.int32))
+    return total
+
+
+def sharded_pair_scores(mesh: Mesh, *, metric: str):
+    """Jitted multi-chip pair-similarity scorer: nbr/deg replicated, pairs
+    sharded on the work axis; returns per-pair scores (sharded out)."""
+    from gms_tpu.algorithms.similarity import pair_scores
+
+    def body(nbr, deg1, pairs):
+        return pair_scores(nbr, deg1, pairs, metric=metric)
+
+    return jax.jit(shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, None), P(None), P(WORK_AXIS, None)),
+        out_specs=P(WORK_AXIS),
+    ))
