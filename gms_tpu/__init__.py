@@ -39,4 +39,33 @@ __all__ = [
     "CSRGraph",
     "PaddedGraph",
     "BitmapGraph",
+    "read_graph",
+    "build_csr",
+    "triangle_count",
+    "kclique_count",
+    "bron_kerbosch",
 ]
+
+
+def __getattr__(name):  # lazy top-level conveniences (avoid import cycles)
+    if name == "read_graph":
+        from gms_tpu.io.readers import read_graph
+
+        return read_graph
+    if name == "build_csr":
+        from gms_tpu.io.builder import build_csr
+
+        return build_csr
+    if name == "triangle_count":
+        from gms_tpu.algorithms.triangle_count import triangle_count
+
+        return triangle_count
+    if name == "kclique_count":
+        from gms_tpu.algorithms.k_clique import kclique_count
+
+        return kclique_count
+    if name == "bron_kerbosch":
+        from gms_tpu.algorithms.bron_kerbosch import bron_kerbosch
+
+        return bron_kerbosch
+    raise AttributeError(name)

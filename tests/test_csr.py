@@ -140,3 +140,21 @@ def test_generate_graph():
     assert not g.directed()
     g2 = generate_graph("uniform", 6, avg_degree=4)
     assert g2.num_nodes == 64
+
+
+def test_prepared_cache_roundtrip(tmp_path):
+    """Checkpoint/resume analog: graph + preprocessing arrays round-trip."""
+    import numpy as np
+    from gms_tpu.io.builder import build_csr
+    from gms_tpu.io.cache import save_prepared, load_prepared
+    from gms_tpu.preprocessing import degeneracy
+
+    rng = np.random.default_rng(0)
+    g = build_csr(rng.integers(0, 30, size=(100, 2)), num_nodes=30)
+    rank, k = degeneracy.degeneracy_ordering_rank(g)
+    p = str(tmp_path / "prep.npz")
+    save_prepared(p, g, rank=rank, degeneracy=np.array(k))
+    g2, extras = load_prepared(p)
+    assert g2 == g
+    np.testing.assert_array_equal(extras["rank"], rank)
+    assert int(extras["degeneracy"]) == k
