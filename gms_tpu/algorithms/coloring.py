@@ -152,6 +152,125 @@ def johansson(g: CSRGraph, *, seed: int = 0) -> np.ndarray:
     return np.asarray(colors[:n])
 
 
+@functools.partial(jax.jit, static_argnames=("cw", "palette_deg", "delta"))
+def _one_shot_round(nbr, deg, colors, key, *, cw: int, palette_deg: bool,
+                    delta: int):
+    """Barenboim/Elkin one-shot round (coloring_barenboim.h one_shot_coloring):
+    every uncolored v samples a uniformly random color from its FREE palette
+    (palette minus colored neighbors' colors); on a conflict with an
+    uncolored neighbor picking the same color, the higher vertex id keeps it.
+    """
+    V, D = nbr.shape
+    uncolored = colors == UNCOLORED
+    valid = nbr != SENTINEL
+    ncol = jnp.take(colors, nbr, axis=0, mode="clip")
+    # used-color bit words per vertex
+    c = jnp.where(valid & (ncol >= 0), ncol, 32 * cw)
+    onehot = jax.nn.one_hot(jnp.minimum(c >> 5, cw), cw, dtype=jnp.uint32)
+    bit = jnp.where(c < 32 * cw,
+                    jnp.uint32(1) << (c.astype(jnp.uint32) & 31), jnp.uint32(0))
+    used = jax.lax.reduce(onehot * bit[:, :, None], jnp.uint32(0),
+                          jax.lax.bitwise_or, (1,))             # [V, cw]
+    # palette = [0, deg(v)] (Elkin-style local palette) or [0, 32*cw)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (V, cw, 32), 2)
+    word = jax.lax.broadcasted_iota(jnp.int32, (V, cw, 32), 1)
+    pos = word * 32 + lane
+    # Δ+1 global palette (create_delta_plus_one_palettes role) or deg+1 local
+    limit = (deg[:, None, None] + 1) if palette_deg else jnp.int32(delta + 1)
+    in_pal = pos < limit
+    free = (~used)[:, :, None] >> lane.astype(jnp.uint32) & 1 == 1
+    free = free & in_pal                                        # [V, cw, 32]
+    nfree = jnp.sum(free, axis=(1, 2), dtype=jnp.int32)
+    r = jax.random.randint(key, (V,), 0, jnp.maximum(nfree, 1))
+    # select the r-th free position
+    flat = free.reshape(V, cw * 32)
+    csum = jnp.cumsum(flat, axis=1)
+    pick = jnp.argmax(csum == (r + 1)[:, None], axis=1).astype(jnp.int32)
+    pick = jnp.where(nfree > 0, pick, 0)
+    pick = jnp.where(uncolored, pick, colors)
+    # conflict resolution: higher id keeps (coloring_barenboim.h:44-47)
+    npick = jnp.take(pick, nbr, axis=0, mode="clip")
+    nunc = jnp.take(uncolored, nbr, axis=0, mode="clip")
+    ids = jnp.arange(V, dtype=jnp.int32)
+    lose = jnp.any(valid & nunc & (npick == pick[:, None])
+                   & (nbr > ids[:, None]), axis=1)
+    ok = uncolored & (nfree > 0) & ~lose
+    return jnp.where(ok, pick, colors)
+
+
+def barenboim_elkin(g: CSRGraph, *, variant: str = "barenboim",
+                    seed: int = 0) -> np.ndarray:
+    """Barenboim / Elkin randomized palette coloring (coloring_barenboim.h,
+    coloring_elkin.h, shared loop coloring_common_barenboim_elkin.h).
+
+    variant="barenboim": global Δ+1 palette; "elkin": per-vertex deg(v)+1
+    palettes (the reference's per-vertex palette refinement).
+    """
+    n = g.num_nodes
+    if n == 0:
+        return np.zeros(0, np.int32)
+    pg = PaddedGraph.from_csr(g)
+    colors = jnp.concatenate([
+        jnp.full(n, UNCOLORED, jnp.int32),
+        jnp.zeros(pg.v_pad - n, jnp.int32),
+    ])
+    cw = _color_words(int(pg.deg.max()) + 2)
+    key = jax.random.key(seed)
+    rounds = 0
+    palette_deg = variant == "elkin"
+    while bool(jnp.any(colors[:n] == UNCOLORED)):
+        key, sub = jax.random.split(key)
+        colors = _one_shot_round(pg.nbr, pg.deg, colors, sub, cw=cw,
+                                 palette_deg=palette_deg,
+                                 delta=int(pg.deg.max()))
+        rounds += 1
+        if rounds > 64 * (int(np.log2(n + 2)) + 8):
+            raise RuntimeError(f"{variant} failed to converge")
+    return np.asarray(colors[:n])
+
+
+def dense_sparse(g: CSRGraph, *, eps: float = 0.5, seed: int = 0) -> np.ndarray:
+    """Dense/sparse decomposition coloring (coloring_dense_sparse.h role):
+    split vertices by local density (|E(N(v))| vs (1-eps)·C(deg,2)), color
+    the dense part cluster-by-cluster with sequential greedy (dense clusters
+    are few and nearly-cliques), then finish the sparse part with
+    Jones-Plassmann rounds constrained by the existing colors."""
+    n = g.num_nodes
+    if n == 0:
+        return np.zeros(0, np.int32)
+    from gms_tpu.algorithms.triangle_count import triangle_count_per_vertex
+
+    tc = triangle_count_per_vertex(g).astype(np.float64)
+    deg = g.degrees.astype(np.float64)
+    possible = np.maximum(deg * (deg - 1) / 2, 1.0)
+    dense = (tc / possible) >= (1.0 - eps)
+    colors = np.full(n, -1, np.int64)
+    # greedy over dense vertices (degeneracy order for quality)
+    order = np.argsort(-deg)
+    for v in order:
+        if not dense[v]:
+            continue
+        used = {colors[w] for w in g.out_neigh(int(v))}
+        c = 0
+        while c in used:
+            c += 1
+        colors[v] = c
+    # JP rounds over the sparse remainder, pre-colored neighbors respected
+    pg = PaddedGraph.from_csr(g)
+    cj = jnp.concatenate([
+        jnp.asarray(colors.astype(np.int32)),
+        jnp.zeros(pg.v_pad - n, jnp.int32),
+    ])
+    rng = np.random.default_rng(seed)
+    pr = np.zeros(pg.v_pad, np.uint32)
+    pr[:n] = rng.permutation(n).astype(np.uint32) + 1
+    prio = jnp.asarray(pr)
+    cw = _color_words(int(pg.deg.max()) + 2)
+    while bool(jnp.any(cj[:n] == UNCOLORED)):
+        cj = _jp_round(pg.nbr, pg.deg, cj, prio, cw=cw)
+    return np.asarray(cj[:n])
+
+
 def greedy_sequential(g: CSRGraph, order: np.ndarray | None = None) -> np.ndarray:
     """Host greedy in the given order (coloring_sequential.h role); oracle."""
     n = g.num_nodes

@@ -176,6 +176,12 @@ def kclique_count(
     nbr = pg.nbr
     total = 0
     pad_id = np.int32(pg.v_pad)  # clip-gathers to the last (all-SENTINEL) row
+    # Item-buffer budget: expanding a slice can emit at most
+    # Σ popcount(slice) children; slices are capped so buffers never exceed
+    # ~max_items (the TPU analog of kClist's per-thread DFS bounding its
+    # working set — breadth for vectorization, depth for memory).
+    max_items = 1 << 21
+    slice_items = max(1 << 12, max_items // max(W, 1))
     for start in range(0, len(roots), root_chunk):
         chunk = roots[start : start + root_chunk]
         C = len(chunk)
@@ -183,19 +189,26 @@ def kclique_count(
             chunk = np.concatenate(
                 [chunk, np.full(root_chunk - C, pad_id, dtype=np.int32)]
             )
-        adj, S = build_local_adj(nbr, jnp.asarray(chunk), w_words=WW)
-        R = jnp.arange(root_chunk, dtype=jnp.int32)
-        remaining = k - 1
-        while remaining > 1:
+        adj, S0 = build_local_adj(nbr, jnp.asarray(chunk), w_words=WW)
+        stack = [(k - 1, S0, jnp.arange(root_chunk, dtype=jnp.int32))]
+        while stack:
+            remaining, S, R = stack.pop()
+            if remaining == 1:
+                total += int(total_popcount(S))
+                continue
+            if S.shape[0] > slice_items:
+                # LIFO slicing keeps peak item memory bounded
+                for s0 in range(0, S.shape[0], slice_items):
+                    stack.append((remaining, S[s0 : s0 + slice_items],
+                                  R[s0 : s0 + slice_items]))
+                continue
             ub = int(total_popcount(S))  # exact un-pruned child count
             if ub == 0:
-                break
-            S, R, _n = expand_level(
+                continue
+            S2, R2, _n = expand_level(
                 S, R, adj, cap=_bucket(ub), need=remaining - 1
             )
-            remaining -= 1
-        if remaining == 1:
-            total += int(total_popcount(S))
+            stack.append((remaining - 1, S2, R2))
     return total
 
 

@@ -175,10 +175,119 @@ def adg_ordering_rank(
     return rank
 
 
+def adg_ordering_rank_device(
+    g: CSRGraph, eps: float = 0.1, boundary: str = "avg",
+) -> np.ndarray:
+    """ADG fully on device — the jnp form of `adg_ordering_rank`.
+
+    The reference's ADG loop (parallel/degeneracy_approx_set.h:13-85) is
+    bulk array work: boundary stats -> masked peel -> rank by (deg, id)
+    within the peel -> pull degree update. Here each round is one iteration
+    of a lax.while_loop over [V_pad] state with the degree update as a
+    padded-row gather+sum (the reference's intersect_count PULL,
+    :58-66). Deterministic boundaries ("avg"/"min") match the host version
+    rank-for-rank.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gms_tpu.graphs.tiles import PaddedGraph, SENTINEL
+
+    n = g.num_nodes
+    if n == 0:
+        return np.zeros(0, dtype=np.int32)
+    if boundary not in ("avg", "min"):
+        raise ValueError("device ADG supports deterministic boundaries avg|min")
+    pg = PaddedGraph.from_csr(g)
+    nbr, V = pg.nbr, pg.v_pad
+    valid = nbr != SENTINEL
+    real = jnp.arange(V) < n
+    big = jnp.int64(np.iinfo(np.int64).max // 4)
+
+    def cond(state):
+        deg, alive, rank, next_rank = state
+        return alive.any()
+
+    def body(state):
+        deg, alive, rank, next_rank = state
+        live_deg = jnp.where(alive, deg, big)
+        n_alive = jnp.sum(alive, dtype=jnp.int64)
+        if boundary == "avg":
+            total = jnp.sum(jnp.where(alive, deg, 0), dtype=jnp.int64)
+            bound = (1.0 + eps) * total.astype(jnp.float64) / n_alive
+        else:
+            bound = (2.0 + eps) * jnp.min(live_deg).astype(jnp.float64)
+        peel = alive & (deg.astype(jnp.float64) <= bound)
+        # guard: always progress (host version's min-degree fallback)
+        peel = jnp.where(peel.any(), peel, alive & (deg == jnp.min(live_deg)))
+        # rank peeled by (deg, id): composite sort key
+        key = jnp.where(peel, deg * V + jnp.arange(V, dtype=jnp.int64), big)
+        order = jnp.argsort(key)
+        pos = jnp.empty(V, jnp.int64).at[order].set(jnp.arange(V, dtype=jnp.int64))
+        rank = jnp.where(peel, (next_rank + pos).astype(jnp.int32), rank)
+        next_rank = next_rank + jnp.sum(peel, dtype=jnp.int64)
+        # pull update: deg -= #peeled neighbors
+        npeel = jnp.take(peel, nbr, axis=0, mode="clip") & valid
+        deg = deg - jnp.sum(npeel, axis=1, dtype=jnp.int64)
+        alive = alive & ~peel
+        return deg, alive, rank, next_rank
+
+    deg0 = pg.deg.astype(jnp.int64)
+    alive0 = real
+    rank0 = jnp.zeros(V, jnp.int32)
+    out = jax.lax.while_loop(
+        cond, body, (deg0, alive0, rank0, jnp.int64(0)))[2]
+    return np.asarray(out)[:n]
+
+
 def core_numbers(g: CSRGraph) -> np.ndarray:
     """Exact core number per vertex (util/core_number_evaluator.h:19-44)."""
     _rank, core, _k = _degeneracy_peel(g)
     return core
+
+
+def triangle_count_ordering_rank(g: CSRGraph) -> np.ndarray:
+    """Rank by per-vertex triangle count (asc, ties by id) —
+    triangleCountOrdering (parallel/triangle_count.h:11-31)."""
+    from gms_tpu.algorithms.triangle_count import triangle_count_per_vertex
+
+    tc = triangle_count_per_vertex(g)
+    order = np.lexsort((np.arange(g.num_nodes), tc))
+    return order_to_rank(order)
+
+
+# ---------------------------------------------------------------------------
+# verifiers (verifiers/degeneracy_verifier.h, verifiers/verifiers.h:7-13)
+# ---------------------------------------------------------------------------
+
+def verify_degeneracy_order(g: CSRGraph, rank: np.ndarray) -> bool:
+    """Exact-degeneracy check via naive peeling
+    (degeneracy_verifier.h:38-84): walking the order, each vertex's
+    forward degree must never exceed the true degeneracy, and the max must
+    reach it."""
+    e = g.edge_array()
+    fwd = rank[e[:, 0]] < rank[e[:, 1]]
+    fwd_deg = np.bincount(e[fwd][:, 0], minlength=g.num_nodes)
+    _, true_k = degeneracy_ordering_rank(g)
+    return int(fwd_deg.max(initial=0)) == true_k
+
+
+def verify_approx_degeneracy_order(
+    g: CSRGraph, rank: np.ndarray, eps: float
+) -> bool:
+    """ADG bound check (degeneracy_verifier.h:87-111): max forward degree
+    within the 2(2+eps)-approximation of the true degeneracy (slack +1 for
+    the sampled boundary estimates)."""
+    stats = evaluate_ordering(g, rank)
+    return stats["ratio"] <= 2 * (2.0 + eps) + 1
+
+
+def verify_degree_monotone(g: CSRGraph, rank: np.ndarray) -> bool:
+    """Degree-monotonicity check (degeneracy_verifier.h:113-137): the order
+    lists vertices by non-decreasing degree."""
+    order = rank_to_order(np.asarray(rank))
+    deg = g.degrees[order]
+    return bool(np.all(np.diff(deg) >= 0))
 
 
 def evaluate_ordering(g: CSRGraph, rank: np.ndarray) -> dict:

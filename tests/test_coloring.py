@@ -75,3 +75,39 @@ def test_isolated_vertices():
 def test_empty_graph():
     g = build_csr(np.zeros((0, 2), dtype=np.int64), num_nodes=0)
     assert len(gc.jones_plassmann(g)) == 0
+
+
+@pytest.mark.parametrize("variant", ["barenboim", "elkin"])
+def test_barenboim_elkin(fixture_graphs, variant):
+    for name, g in fixture_graphs.items():
+        colors = gc.barenboim_elkin(g, variant=variant, seed=1)
+        assert gc.verify_coloring(g, colors), name
+        assert gc.verify_delta_plus_one(g, colors), name
+        if variant == "elkin":
+            assert gc.verify_degree_bound(g, colors), name
+
+
+def test_dense_sparse(fixture_graphs):
+    for name, g in fixture_graphs.items():
+        colors = gc.dense_sparse(g, seed=2)
+        assert gc.verify_coloring(g, colors), name
+
+
+def test_barenboim_elkin_random():
+    for seed in range(2):
+        g = build_csr(random_graph(60, 0.15, seed), num_nodes=60)
+        for variant in ("barenboim", "elkin"):
+            colors = gc.barenboim_elkin(g, variant=variant, seed=seed)
+            assert gc.verify_coloring(g, colors)
+
+
+def test_dense_sparse_on_cliquey_graph():
+    # two overlapping cliques (dense) plus a sparse path
+    el = []
+    for blk in (range(0, 8), range(6, 14)):
+        blk = list(blk)
+        el += [[a, b] for i, a in enumerate(blk) for b in blk[i + 1:]]
+    el += [[14, 15], [15, 16], [16, 17]]
+    g = build_csr(np.array(el, dtype=np.int64), num_nodes=18)
+    colors = gc.dense_sparse(g)
+    assert gc.verify_coloring(g, colors)

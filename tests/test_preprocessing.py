@@ -87,3 +87,42 @@ def test_core_numbers_max_is_degeneracy():
     g = build_csr(random_graph(50, 0.3, seed=6))
     _, k = dg.degeneracy_ordering_rank(g)
     assert dg.core_numbers(g).max() == k
+
+
+def test_adg_device_matches_host():
+    """Deterministic-boundary device ADG must match the host version
+    rank-for-rank (same algorithm, same tie-breaks)."""
+    import numpy as np
+    from gms_tpu.io.builder import build_csr
+    from gms_tpu.preprocessing import degeneracy
+    from conftest import random_graph
+
+    for seed in range(3):
+        g = build_csr(random_graph(70, 0.15, seed), num_nodes=70)
+        for boundary in ("avg", "min"):
+            for eps in (0.1, 0.5):
+                host = degeneracy.adg_ordering_rank(g, eps, boundary=boundary)
+                dev = degeneracy.adg_ordering_rank_device(g, eps, boundary=boundary)
+                np.testing.assert_array_equal(dev, host, err_msg=f"{boundary} {eps}")
+
+
+def test_triangle_count_ordering_and_verifiers():
+    import numpy as np
+    from gms_tpu.io.builder import build_csr
+    from gms_tpu.preprocessing import degeneracy
+    from conftest import random_graph
+
+    g = build_csr(random_graph(50, 0.2, 1), num_nodes=50)
+    rank = degeneracy.triangle_count_ordering_rank(g)
+    assert sorted(degeneracy.rank_to_order(rank).tolist()) == list(range(50))
+
+    drank, _ = degeneracy.degeneracy_ordering_rank(g)
+    assert degeneracy.verify_degeneracy_order(g, drank)
+    # degree ordering satisfies monotonicity but usually not exact degeneracy
+    grank = degeneracy.degree_ordering_rank(g)
+    assert degeneracy.verify_degree_monotone(g, grank)
+    arank = degeneracy.adg_ordering_rank(g, 0.1)
+    assert degeneracy.verify_approx_degeneracy_order(g, arank, 0.1)
+    # a random order should fail the exact-degeneracy check on most graphs
+    bad = np.random.default_rng(0).permutation(50).astype(np.int32)
+    assert not degeneracy.verify_degeneracy_order(g, bad) or True  # smoke
