@@ -104,8 +104,10 @@ def expand_level(S, root_idx, adj, *, cap: int, need: int):
               exact un-pruned total)
     need:     child survives iff popcount(child) >= need
 
-    Returns (S_out uint32[cap, WW], root_out int32[cap], n_children int64).
-    Unfilled slots are zero bitsets (inert in later levels).
+    Returns (S_out uint32[cap, WW], root_out int32[cap], n_children int64,
+    child_pc_sum int64 — Σ popcount over emitted children, i.e. the final
+    count when the children are the last level). Unfilled slots are zero
+    bitsets (inert in later levels).
     """
     N, WW = S.shape
     W = adj.shape[1]
@@ -114,7 +116,7 @@ def expand_level(S, root_idx, adj, *, cap: int, need: int):
     R_out = jnp.zeros((cap,), dtype=jnp.int32)
 
     def step(carry, i):
-        S_out, R_out, off = carry
+        S_out, R_out, off, pcs = carry
         word = jnp.take(S, i >> 5, axis=1)                     # [N]
         has = (word >> (i & 31).astype(jnp.uint32)) & 1 == 1
         adj_i = jnp.take(adj[:, :, :], i, axis=1)              # [C, WW]
@@ -126,12 +128,14 @@ def expand_level(S, root_idx, adj, *, cap: int, need: int):
         S_out = S_out.at[dest].set(child, mode="drop")
         R_out = R_out.at[dest].set(root_idx, mode="drop")
         off = off + jnp.sum(ok, dtype=jnp.int64)
-        return (S_out, R_out, off), None
+        pcs = pcs + jnp.sum(jnp.where(ok, pc, 0), dtype=jnp.int64)
+        return (S_out, R_out, off, pcs), None
 
-    (S_out, R_out, off), _ = jax.lax.scan(
-        step, (S_out, R_out, jnp.int64(0)), jnp.arange(W, dtype=jnp.int32)
+    (S_out, R_out, off, pcs), _ = jax.lax.scan(
+        step, (S_out, R_out, jnp.int64(0), jnp.int64(0)),
+        jnp.arange(W, dtype=jnp.int32)
     )
-    return S_out, R_out, off
+    return S_out, R_out, off, pcs
 
 
 @jax.jit
@@ -176,12 +180,14 @@ def kclique_count(
     nbr = pg.nbr
     total = 0
     pad_id = np.int32(pg.v_pad)  # clip-gathers to the last (all-SENTINEL) row
-    # Item-buffer budget: expanding a slice can emit at most
-    # Σ popcount(slice) children; slices are capped so buffers never exceed
-    # ~max_items (the TPU analog of kClist's per-thread DFS bounding its
-    # working set — breadth for vectorization, depth for memory).
-    max_items = 1 << 21
-    slice_items = max(1 << 12, max_items // max(W, 1))
+    # Item-buffer discipline: fixed slice size and fixed output capacity
+    # (slice * W is the worst-case un-pruned fanout), so expand_level
+    # compiles exactly once per recursion level — and expanding a slice
+    # can never overflow. LIFO slicing bounds peak item memory: the TPU
+    # analog of kClist's per-thread DFS bounding its working set
+    # (breadth for vectorization, depth for memory).
+    slice_items = max(256, _bucket((1 << 21) // max(W, 1)) // 2)
+    cap = slice_items * W
     for start in range(0, len(roots), root_chunk):
         chunk = roots[start : start + root_chunk]
         C = len(chunk)
@@ -190,25 +196,39 @@ def kclique_count(
                 [chunk, np.full(root_chunk - C, pad_id, dtype=np.int32)]
             )
         adj, S0 = build_local_adj(nbr, jnp.asarray(chunk), w_words=WW)
+        if k == 3:
+            # one expansion with need=1 yields the count directly
+            _s, _r, _n, pcs = expand_level(
+                S0, jnp.arange(root_chunk, dtype=jnp.int32), adj,
+                cap=root_chunk * W, need=1)
+            total += int(pcs)
+            continue
         stack = [(k - 1, S0, jnp.arange(root_chunk, dtype=jnp.int32))]
         while stack:
             remaining, S, R = stack.pop()
-            if remaining == 1:
-                total += int(total_popcount(S))
-                continue
             if S.shape[0] > slice_items:
                 # LIFO slicing keeps peak item memory bounded
                 for s0 in range(0, S.shape[0], slice_items):
                     stack.append((remaining, S[s0 : s0 + slice_items],
                                   R[s0 : s0 + slice_items]))
                 continue
-            ub = int(total_popcount(S))  # exact un-pruned child count
-            if ub == 0:
-                continue
-            S2, R2, _n = expand_level(
-                S, R, adj, cap=_bucket(ub), need=remaining - 1
+            if S.shape[0] < slice_items and S.shape[0] != root_chunk:
+                pad = slice_items - S.shape[0]
+                S = jnp.concatenate([S, jnp.zeros((pad, WW), jnp.uint32)])
+                R = jnp.concatenate([R, jnp.zeros((pad,), jnp.int32)])
+            S2, R2, n2, pcs = expand_level(
+                S, R, adj, cap=S.shape[0] * W, need=remaining - 1
             )
-            stack.append((remaining - 1, S2, R2))
+            if remaining == 2:
+                # children are the last level; their popcounts ARE the count
+                total += int(pcs)
+                continue
+            n2 = int(n2)
+            if n2 == 0:
+                continue
+            # trim to the bucketed live prefix (slots beyond n2 are zero)
+            keep = min(_bucket(n2), S2.shape[0])
+            stack.append((remaining - 1, S2[:keep], R2[:keep]))
     return total
 
 

@@ -50,7 +50,7 @@ def _sharded_kclique_step(mesh, *, k: int, w_words: int, caps: tuple):
         remaining = k - 1
         for lvl in range(k - 2):
             cap = caps[lvl]
-            S, R, n = expand_level(S, R, adj, cap=cap, need=remaining - 1)
+            S, R, n, _pcs = expand_level(S, R, adj, cap=cap, need=remaining - 1)
             overflow = overflow + jnp.maximum(n - cap, 0)
             remaining -= 1
         cnt = jnp.sum(jax.lax.population_count(S), dtype=jnp.int64)

@@ -161,3 +161,23 @@ class TestBitmapRows:
         for i, (sa, _) in enumerate(ORACLE):
             assert ca[i] == len(sa | {7})
             assert cr[i] == len(sa - {7})
+
+
+def test_format_helpers(capsys):
+    import numpy as np
+    from gms_tpu.sets import format as fmt
+    from gms_tpu.graphs.tiles import SENTINEL
+    from gms_tpu.io.builder import build_csr
+
+    row = np.array([1, 5, 9, SENTINEL, SENTINEL], dtype=np.int32)
+    np.testing.assert_array_equal(fmt.set_to_vector(row), [1, 5, 9])
+    assert fmt.set2str(row) == "{1, 5, 9}"
+    fmt.print_set(row, label="s")
+    fmt.print_array("a", [1, 2, 3])
+    g = build_csr(np.array([[0, 1], [1, 2]], dtype=np.int64), num_nodes=3)
+    fmt.print_graph_neighborhoods(g)
+    out = capsys.readouterr().out
+    assert "s {1, 5, 9}" in out and "a: 1 2 3" in out and "1: {0, 2}" in out
+    np.testing.assert_array_equal(
+        fmt.bitmap_to_vector(np.array([0b1010, 1], dtype=np.uint32)), [1, 3, 32])
+    assert len(fmt.sets_to_vector(np.stack([row, row]))) == 2
