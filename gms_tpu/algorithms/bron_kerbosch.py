@@ -157,14 +157,21 @@ def bk_level(R, Cand, Fini, root_idx, adj, *, cap: int, emit: bool):
 @functools.partial(jax.jit, static_argnames=("w_words",))
 def init_items(nbr, rank_pad, roots, *, w_words: int):
     """Initial (R, cand, fini) per root: cand = higher-ranked neighbors,
-    fini = lower-ranked (eppstein.h:23-33 / eppsteinPAR.h:39-45)."""
-    r_nbr = jnp.take(nbr, roots, axis=0, mode="clip")          # [C, W]
+    fini = lower-ranked (eppstein.h:23-33 / eppsteinPAR.h:39-45).
+    Caller contract: every root's degree fits in 32*w_words local slots."""
+    W = 32 * w_words
+    r_nbr = jnp.take(nbr, roots, axis=0, mode="clip")          # [C, D]
+    r_nbr = jax.lax.slice_in_dim(r_nbr, 0, min(W, r_nbr.shape[1]), axis=1)
+    if r_nbr.shape[1] < W:
+        r_nbr = jnp.concatenate(
+            [r_nbr, jnp.full((r_nbr.shape[0], W - r_nbr.shape[1]), SENTINEL,
+                             jnp.int32)], axis=1)
     valid = r_nbr != SENTINEL
     nbr_rank = jnp.take(rank_pad, r_nbr, axis=0, mode="clip")
     root_rank = jnp.take(rank_pad, roots, axis=0, mode="clip")
     higher = valid & (nbr_rank > root_rank[:, None])
     lower = valid & ~higher
-    C, W = r_nbr.shape
+    C = r_nbr.shape[0]
     weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
     pack = lambda b: jnp.sum(
         b.reshape(C, w_words, 32).astype(jnp.uint32) * weights,
@@ -209,8 +216,6 @@ def bron_kerbosch(
             raise ValueError(f"unknown ordering {ordering!r}")
 
     pg = PaddedGraph.from_csr(g, lane=32)
-    W = pg.d_pad
-    WW = W // 32
     rank_pad = np.full(pg.v_pad + 1, np.int32(np.iinfo(np.int32).max))
     rank_pad[:n] = rank
     rank_pad = jnp.asarray(rank_pad)
@@ -222,18 +227,39 @@ def bron_kerbosch(
     pad_id = np.int32(pg.v_pad)
     roots_all = (np.arange(n, dtype=np.int32) if roots is None
                  else np.asarray(roots, dtype=np.int32))
-    for start in range(0, len(roots_all), root_chunk):
-        chunk = roots_all[start : start + root_chunk]
+    # degree-tiered root chunks: the local universe is N(root), so the
+    # bitset width W must cover the chunk's max degree; sorting roots by
+    # degree keeps W (and the [C, W, W/32] adjacency) small for the bulk of
+    # the graph — the TPU form of the reference's per-root subgraph sizing
+    # (EppsteinSubGraphAdaptive.h boundary switch).
+    deg_all = g.degrees
+    order = np.argsort(deg_all[roots_all], kind="stable")
+    roots_sorted = roots_all[order]
+    mem_budget_words = 1 << 26  # ~256MB of adjacency per chunk
+    start = 0
+    while start < len(roots_sorted):
+        d0 = int(deg_all[roots_sorted[start]])
+        W = max(32, 1 << int(np.ceil(np.log2(max(d0, 1)))))
+        WW = W // 32
+        cmax = max(16, min(root_chunk, _bucket(
+            max(mem_budget_words // (W * WW), 16)) // 2))
+        # extend chunk while degrees still fit in W
+        stop = start
+        while stop < len(roots_sorted) and stop - start < cmax and \
+                deg_all[roots_sorted[stop]] <= W:
+            stop += 1
+        chunk = roots_sorted[start:stop]
+        start = stop
         C = len(chunk)
-        if C < root_chunk:
+        if C < cmax:
             chunk = np.concatenate(
-                [chunk, np.full(root_chunk - C, pad_id, dtype=np.int32)]
+                [chunk, np.full(cmax - C, pad_id, dtype=np.int32)]
             )
         adj, _S0 = build_local_adj(nbr, jnp.asarray(chunk), w_words=WW)
         Cand, Fini = init_items(nbr, rank_pad, jnp.asarray(chunk), w_words=WW)
-        R = jnp.zeros((root_chunk, WW), jnp.uint32)
+        R = jnp.zeros((cmax, WW), jnp.uint32)
         root_idx = jnp.where(
-            jnp.asarray(chunk) == pad_id, -1, jnp.arange(root_chunk, dtype=jnp.int32)
+            jnp.asarray(chunk) == pad_id, -1, jnp.arange(cmax, dtype=jnp.int32)
         )
         while True:
             ub = int(total_popcount(Cand))  # >= number of children emitted

@@ -60,32 +60,45 @@ def _bucket(n: int) -> int:
 def build_local_adj(nbr, roots, *, w_words: int):
     """Per-root local DAG adjacency bitmaps + initial candidate bitsets.
 
-    nbr:   int32[V_pad, W] oriented padded adjacency (rows sorted asc)
+    nbr:   int32[V_pad, D] oriented padded adjacency (rows sorted asc)
     roots: int32[C] root vertex ids (may contain padding ids; their rows
-           must be empty/SENTINEL so S0 comes out 0)
+           must be empty/SENTINEL so S0 comes out 0). Caller contract:
+           every root's out-degree fits in 32*w_words local slots.
 
-    Returns (adj uint32[C, W, w_words], S0 uint32[C, w_words]) where bit j of
-    adj[b, i] says nbr[roots[b], j] ∈ N⁺(nbr[roots[b], i]).
+    Returns (adj uint32[C, W, w_words], S0 uint32[C, w_words]) where bit j
+    of adj[b, i] says nbr[roots[b], j] ∈ N(nbr[roots[b], i]) — W = 32*w_words.
+
+    Built as a lax.scan over the local index i so peak memory is one
+    [C, D] neighbor-row gather per step (never [C, W, D]), which keeps the
+    build feasible when neighbors are hubs with huge rows.
     """
-    r_nbr = jnp.take(nbr, roots, axis=0, mode="clip")          # [C, W]
-    rows = jnp.take(nbr, r_nbr, axis=0, mode="clip")           # [C, W, W]
+    W = 32 * w_words
+    r_nbr_full = jnp.take(nbr, roots, axis=0, mode="clip")     # [C, D]
+    r_nbr = jax.lax.slice_in_dim(r_nbr_full, 0, min(W, r_nbr_full.shape[1]),
+                                 axis=1)
+    if r_nbr.shape[1] < W:
+        r_nbr = jnp.concatenate(
+            [r_nbr, jnp.full((r_nbr.shape[0], W - r_nbr.shape[1]), SENTINEL,
+                             jnp.int32)], axis=1)
+    valid = r_nbr != SENTINEL                                  # [C, W]
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    C = r_nbr.shape[0]
 
     def member_row(row, queries):
         idx = jnp.minimum(jnp.searchsorted(row, queries), row.shape[0] - 1)
         return row[idx] == queries
 
-    mem = jax.vmap(jax.vmap(member_row, in_axes=(0, None)), in_axes=(0, 0))(
-        rows, r_nbr
-    )  # [C, W(i), W(j)]
-    valid = r_nbr != SENTINEL                                  # [C, W]
-    adj_bool = mem & valid[:, None, :] & valid[:, :, None]
+    def step(_, i):
+        rows_i = jnp.take(nbr, r_nbr[:, i], axis=0, mode="clip")  # [C, D]
+        m = jax.vmap(member_row)(rows_i, r_nbr)                   # [C, W]
+        m = m & valid & valid[:, i][:, None]
+        packed = jnp.sum(
+            m.reshape(C, w_words, 32).astype(jnp.uint32) * weights,
+            axis=2, dtype=jnp.uint32)                              # [C, WW]
+        return None, packed
 
-    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
-    C, W = r_nbr.shape
-    adj = jnp.sum(
-        adj_bool.reshape(C, W, w_words, 32).astype(jnp.uint32) * weights,
-        axis=3, dtype=jnp.uint32,
-    )
+    _, adj_cols = jax.lax.scan(step, None, jnp.arange(W, dtype=jnp.int32))
+    adj = jnp.transpose(adj_cols, (1, 0, 2))                   # [C, W, WW]
     S0 = jnp.sum(
         valid.reshape(C, w_words, 32).astype(jnp.uint32) * weights,
         axis=2, dtype=jnp.uint32,
@@ -108,34 +121,37 @@ def expand_level(S, root_idx, adj, *, cap: int, need: int):
     child_pc_sum int64 — Σ popcount over emitted children, i.e. the final
     count when the children are the last level). Unfilled slots are zero
     bitsets (inert in later levels).
+
+    Implementation is fully dense: materialize the [N, W] child tensor in
+    one broadcast AND, then compact surviving children with a single
+    stable argsort (valid-first keys) + gather — no sequential scatter
+    loop, which is the op TPUs are worst at.
     """
     N, WW = S.shape
     W = adj.shape[1]
 
-    S_out = jnp.zeros((cap, WW), dtype=jnp.uint32)
-    R_out = jnp.zeros((cap,), dtype=jnp.int32)
+    rows = jnp.take(adj, jnp.maximum(root_idx, 0), axis=0)      # [N, W, WW]
+    child = S[:, None, :] & rows                                # [N, W, WW]
+    # bit i of S: does item expand along local vertex i?
+    widx = jax.lax.broadcasted_iota(jnp.int32, (W,), 0)
+    words = jnp.take(S, widx >> 5, axis=1)                      # [N, W]
+    has = ((words >> (widx & 31).astype(jnp.uint32)[None, :]) & 1) == 1
+    pc = jnp.sum(jax.lax.population_count(child), axis=2, dtype=jnp.int32)
+    ok = has & (pc >= need)                                     # [N, W]
+    pcs = jnp.sum(jnp.where(ok, pc, 0), dtype=jnp.int64)
+    n_children = jnp.sum(ok, dtype=jnp.int64)
 
-    def step(carry, i):
-        S_out, R_out, off, pcs = carry
-        word = jnp.take(S, i >> 5, axis=1)                     # [N]
-        has = (word >> (i & 31).astype(jnp.uint32)) & 1 == 1
-        adj_i = jnp.take(adj[:, :, :], i, axis=1)              # [C, WW]
-        child = S & jnp.take(adj_i, root_idx, axis=0)          # [N, WW]
-        pc = jnp.sum(jax.lax.population_count(child), axis=1, dtype=jnp.int32)
-        ok = has & (pc >= need)
-        pos = jnp.cumsum(ok.astype(jnp.int64)) - 1
-        dest = jnp.where(ok, off + pos, cap).astype(jnp.int64)
-        S_out = S_out.at[dest].set(child, mode="drop")
-        R_out = R_out.at[dest].set(root_idx, mode="drop")
-        off = off + jnp.sum(ok, dtype=jnp.int64)
-        pcs = pcs + jnp.sum(jnp.where(ok, pc, 0), dtype=jnp.int64)
-        return (S_out, R_out, off, pcs), None
-
-    (S_out, R_out, off, pcs), _ = jax.lax.scan(
-        step, (S_out, R_out, jnp.int64(0), jnp.int64(0)),
-        jnp.arange(W, dtype=jnp.int32)
-    )
-    return S_out, R_out, off, pcs
+    flat_ok = ok.reshape(N * W)
+    idx = jnp.arange(N * W, dtype=jnp.int32)
+    key = jnp.where(flat_ok, idx, idx + N * W)                  # valid first
+    order = jnp.argsort(key)[:cap]
+    sel_ok = jnp.take(flat_ok, order)
+    S_out = jnp.where(sel_ok[:, None],
+                      jnp.take(child.reshape(N * W, WW), order, axis=0),
+                      jnp.uint32(0))
+    R_flat = jnp.broadcast_to(root_idx[:, None], (N, W)).reshape(N * W)
+    R_out = jnp.where(sel_ok, jnp.take(R_flat, order), 0)
+    return S_out, R_out, n_children, pcs
 
 
 @jax.jit
