@@ -48,32 +48,40 @@ def build_local_univ(nbr, rank_pad, roots, *, w_words: int):
       S0 uint32[C, WW] — locals with rank > rank(root)
       I0 uint32[C, WW] — all valid locals
     """
-    r_nbr = jnp.take(nbr, roots, axis=0, mode="clip")              # [C, W]
-    rows = jnp.take(nbr, r_nbr, axis=0, mode="clip")               # [C, W, W]
+    W = 32 * w_words
+    r_nbr = jnp.take(nbr, roots, axis=0, mode="clip")              # [C, D]
+    r_nbr = jax.lax.slice_in_dim(r_nbr, 0, min(W, r_nbr.shape[1]), axis=1)
+    if r_nbr.shape[1] < W:
+        r_nbr = jnp.concatenate(
+            [r_nbr, jnp.full((r_nbr.shape[0], W - r_nbr.shape[1]), SENTINEL,
+                             jnp.int32)], axis=1)
+    valid = r_nbr != SENTINEL
+    lrank = jnp.take(rank_pad, r_nbr, axis=0, mode="clip")         # [C, W]
+    rrank = jnp.take(rank_pad, roots, axis=0, mode="clip")         # [C]
+    C = r_nbr.shape[0]
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    pack2 = lambda b: jnp.sum(
+        b.reshape(C, w_words, 32).astype(jnp.uint32) * weights,
+        axis=2, dtype=jnp.uint32)
 
     def member_row(row, queries):
         idx = jnp.minimum(jnp.searchsorted(row, queries), row.shape[0] - 1)
         return row[idx] == queries
 
-    mem = jax.vmap(jax.vmap(member_row, in_axes=(0, None)), in_axes=(0, 0))(
-        rows, r_nbr
-    )
-    valid = r_nbr != SENTINEL
-    adjb = mem & valid[:, None, :] & valid[:, :, None]
-    lrank = jnp.take(rank_pad, r_nbr, axis=0, mode="clip")         # [C, W]
-    rrank = jnp.take(rank_pad, roots, axis=0, mode="clip")         # [C]
-    dagb = adjb & (lrank[:, None, :] > lrank[:, :, None])
-    C, W = r_nbr.shape
-    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
-    pack2 = lambda b: jnp.sum(
-        b.reshape(C, w_words, 32).astype(jnp.uint32) * weights,
-        axis=2, dtype=jnp.uint32)
-    pack3 = lambda b: jnp.sum(
-        b.reshape(C, W, w_words, 32).astype(jnp.uint32) * weights,
-        axis=3, dtype=jnp.uint32)
+    def step(_, i):
+        rows_i = jnp.take(nbr, r_nbr[:, i], axis=0, mode="clip")   # [C, D]
+        m = jax.vmap(member_row)(rows_i, r_nbr)                    # [C, W]
+        m = m & valid & valid[:, i][:, None]
+        dag_m = m & (lrank > lrank[:, i][:, None])
+        return None, (pack2(m), pack2(dag_m))
+
+    _, (adj_cols, dag_cols) = jax.lax.scan(
+        step, None, jnp.arange(W, dtype=jnp.int32))
+    adj_full = jnp.transpose(adj_cols, (1, 0, 2))                  # [C, W, WW]
+    adj_dag = jnp.transpose(dag_cols, (1, 0, 2))
     S0 = pack2(valid & (lrank > rrank[:, None]))
     I0 = pack2(valid)
-    return pack3(adjb), pack3(dagb), S0, I0
+    return adj_full, adj_dag, S0, I0
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "need"))
@@ -149,7 +157,6 @@ def kclique_star_list(
     if rank is None:
         rank, _ = degeneracy.degeneracy_ordering_rank(g)
     pg = PaddedGraph.from_csr(g, lane=32)
-    W, WW = pg.d_pad, pg.d_pad // 32
     rank_pad = np.full(pg.v_pad + 1, np.int32(np.iinfo(np.int32).max))
     rank_pad[:n] = rank
     rank_pad_j = jnp.asarray(rank_pad)
@@ -160,17 +167,33 @@ def kclique_star_list(
     results = []
     n_cliques = 0
     star_total = 0
-    for start in range(0, len(roots_all), root_chunk):
-        chunk = roots_all[start : start + root_chunk]
+    # degree-tiered chunks (see bron_kerbosch: the local universe is the
+    # full N(root), so per-chunk widths keep skewed graphs feasible)
+    deg_all = g.degrees
+    roots_sorted = roots_all[np.argsort(deg_all[roots_all], kind="stable")]
+    mem_budget_words = 1 << 25
+    start = 0
+    while start < len(roots_sorted):
+        d0 = int(deg_all[roots_sorted[start]])
+        W = max(32, 1 << int(np.ceil(np.log2(max(d0, 1)))))
+        WW = W // 32
+        cmax = max(16, min(root_chunk, _bucket(
+            max(mem_budget_words // (W * WW), 16)) // 2))
+        stop = start
+        while stop < len(roots_sorted) and stop - start < cmax and \
+                deg_all[roots_sorted[stop]] <= W:
+            stop += 1
+        chunk = roots_sorted[start:stop]
+        start = stop
         C = len(chunk)
-        if C < root_chunk:
+        if C < cmax:
             chunk = np.concatenate(
-                [chunk, np.full(root_chunk - C, pad_id, dtype=np.int32)])
+                [chunk, np.full(cmax - C, pad_id, dtype=np.int32)])
         adj_full, adj_dag, S, I = build_local_univ(
             pg.nbr, rank_pad_j, jnp.asarray(chunk), w_words=WW)
-        R = jnp.zeros((root_chunk, WW), jnp.uint32)
+        R = jnp.zeros((cmax, WW), jnp.uint32)
         root_idx = jnp.where(jnp.asarray(chunk) == pad_id, -1,
-                             jnp.arange(root_chunk, dtype=jnp.int32))
+                             jnp.arange(cmax, dtype=jnp.int32))
         remaining = k - 1
         alive = True
         while remaining > 0:
