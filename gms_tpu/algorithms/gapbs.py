@@ -161,7 +161,8 @@ def sssp(g: CSRGraph, source: int, weights: np.ndarray | None = None) -> np.ndar
     None); unreachable = -1."""
     pg = PaddedGraph.from_csr(g)
     if weights is None:
-        weights = np.ones(g.num_edges, dtype=np.int32)
+        weights = (g.weights if g.weights is not None
+                   else np.ones(g.num_edges, dtype=np.int32))
     wp = np.zeros((pg.v_pad, pg.d_pad), dtype=np.int32)
     deg = g.degrees.astype(np.int64)
     rows = np.repeat(np.arange(g.num_nodes), deg)

@@ -25,12 +25,19 @@ class CSRGraph:
     indices: int32[num_edges]   (sorted within each row after squish)
     """
 
-    def __init__(self, indptr: np.ndarray, indices: np.ndarray, *, directed: bool = False):
+    def __init__(self, indptr: np.ndarray, indices: np.ndarray, *,
+                 directed: bool = False, weights: np.ndarray | None = None):
         self.indptr = np.ascontiguousarray(indptr, dtype=np.int64)
         self.indices = np.ascontiguousarray(indices, dtype=np.int32)
         self._directed = bool(directed)
+        # optional per-CSR-slot weights (the reference's WGraph/.wel role,
+        # gapbs/graph.h WNode); None for unweighted graphs
+        self.weights = (None if weights is None
+                        else np.ascontiguousarray(weights, dtype=np.int32))
         if self.indptr[0] != 0 or self.indptr[-1] != len(self.indices):
             raise ValueError("inconsistent indptr/indices")
+        if self.weights is not None and len(self.weights) != len(self.indices):
+            raise ValueError("weights/indices length mismatch")
 
     # -- basic accessors (reference gapbs/graph.h:226-268) --------------------
 

@@ -76,3 +76,35 @@ def worth_relabelling(g: CSRGraph) -> bool:
     if g.num_nodes == 0:
         return False
     return float(deg.mean()) > 4.0 * float(np.median(deg))
+
+
+def build_csr_weighted(
+    edges: np.ndarray,
+    weights: np.ndarray,
+    num_nodes: int | None = None,
+    *,
+    symmetrize: bool = True,
+    remove_self_loops: bool = True,
+) -> CSRGraph:
+    """Weighted build (.wel / WGraph role): squish keeps the first weight of
+    each duplicate edge (GAPBS keeps an arbitrary one of the duplicates)."""
+    edges = np.asarray(edges).astype(np.int64, copy=False).reshape(-1, 2)
+    weights = np.asarray(weights).astype(np.int64, copy=False)
+    if num_nodes is None:
+        num_nodes = int(edges.max(initial=-1)) + 1
+    if remove_self_loops:
+        keep = edges[:, 0] != edges[:, 1]
+        edges, weights = edges[keep], weights[keep]
+    if symmetrize:
+        edges = np.concatenate([edges, edges[:, ::-1]], axis=0)
+        weights = np.concatenate([weights, weights])
+    key = edges[:, 0] * np.int64(num_nodes) + edges[:, 1]
+    order = np.argsort(key, kind="stable")
+    key, weights = key[order], weights[order]
+    first = np.ones(len(key), dtype=bool)
+    first[1:] = key[1:] != key[:-1]
+    key, weights = key[first], weights[first]
+    pairs = np.stack([key // num_nodes, key % num_nodes], axis=1).astype(np.int32)
+    g = _csr_from_sorted_pairs(pairs, num_nodes, directed=not symmetrize)
+    return CSRGraph(g.indptr, g.indices, directed=not symmetrize,
+                    weights=weights.astype(np.int32))

@@ -52,9 +52,23 @@ def read_el(path: str, *, symmetrize: bool = True) -> CSRGraph:
 
 
 def read_wel(path: str, *, symmetrize: bool = True) -> CSRGraph:
-    """Weighted edge list `u v w`; weights dropped (suite mines topology only,
-    mirroring how the set-based algorithms in the reference use weights never)."""
-    return build_csr(_load_int_pairs(path), symmetrize=symmetrize)
+    """Weighted edge list `u v w` (reader.h ReadInWEL): weights preserved on
+    the CSR (used by SSSP); set-based mining ignores them as in the
+    reference."""
+    from gms_tpu.io.builder import build_csr_weighted
+
+    with _open(path) as f:
+        text = f.read()
+    rows = [ln.split() for ln in text.splitlines()
+            if ln and ln.lstrip()[:1] not in "#%"]
+    if not rows:
+        return build_csr(np.zeros((0, 2), dtype=np.int64),
+                         symmetrize=symmetrize)
+    data = np.asarray([[float(r[0]), float(r[1]),
+                        float(r[2]) if len(r) > 2 else 1.0] for r in rows])
+    return build_csr_weighted(data[:, :2].astype(np.int64),
+                              data[:, 2].astype(np.int64),
+                              symmetrize=symmetrize)
 
 
 def read_mtx(path: str, *, symmetrize: bool = True) -> CSRGraph:
@@ -111,17 +125,17 @@ def read_gr(path: str, *, symmetrize: bool = True) -> CSRGraph:
 
 def save_npz(g: CSRGraph, path: str) -> None:
     """Binary serialized graph — role of .sg (gapbs/writer.h)."""
-    np.savez_compressed(
-        path,
-        indptr=g.indptr,
-        indices=g.indices,
-        directed=np.array(g.directed()),
-    )
+    payload = dict(indptr=g.indptr, indices=g.indices,
+                   directed=np.array(g.directed()))
+    if g.weights is not None:
+        payload["weights"] = g.weights
+    np.savez_compressed(path, **payload)
 
 
 def load_npz(path: str) -> CSRGraph:
     with np.load(path) as z:
-        return CSRGraph(z["indptr"], z["indices"], directed=bool(z["directed"]))
+        return CSRGraph(z["indptr"], z["indices"], directed=bool(z["directed"]),
+                        weights=z["weights"] if "weights" in z.files else None)
 
 
 _READERS = {

@@ -158,3 +158,33 @@ def test_prepared_cache_roundtrip(tmp_path):
     assert g2 == g
     np.testing.assert_array_equal(extras["rank"], rank)
     assert int(extras["degeneracy"]) == k
+
+
+def test_weighted_wel_roundtrip(tmp_path):
+    """Weighted .wel: weights preserved, used by SSSP, npz round-trip."""
+    import numpy as np
+    from gms_tpu.io.readers import read_wel, save_npz, load_npz
+    from gms_tpu.algorithms import gapbs
+
+    p = tmp_path / "g.wel"
+    p.write_text("0 1 5\n1 2 2\n0 2 9\n")
+    g = read_wel(str(p))
+    assert g.weights is not None and len(g.weights) == g.num_edges
+    d = gapbs.sssp(g, 0)
+    # 0->1 =5; 0->2 = min(9, 5+2)=7
+    assert d.tolist() == [0, 5, 7]
+    q = tmp_path / "g.npz"
+    save_npz(g, str(q))
+    g2 = load_npz(str(q))
+    assert g2 == g and np.array_equal(g2.weights, g.weights)
+
+
+def test_weighted_symmetrize_dedup():
+    import numpy as np
+    from gms_tpu.io.builder import build_csr_weighted
+
+    g = build_csr_weighted(np.array([[0, 1], [0, 1], [1, 0]]),
+                           np.array([3, 7, 9]), num_nodes=2)
+    assert g.num_edges == 2  # one undirected edge, both directions
+    # first weight of each duplicate kept (stable sort)
+    assert set(g.weights.tolist()) <= {3, 9}
