@@ -189,8 +189,14 @@ def count_hub_edges(rows, row_of, edges, valid, *, chunk: int,
 
     def body(acc, xs):
         e, v = xs
-        ra = jnp.take(row_of, e[:, 0], mode="clip")
-        rb = jnp.take(row_of, e[:, 1], mode="clip")
+        # edges carry pre-resolved ROW indices (row_of applied on host at
+        # plan-build time): a chained device-side row_of gather costs ~3.6x
+        # the row gather itself on v5e, so it must not be in the hot loop.
+        if row_of is not None:
+            ra = jnp.take(row_of, e[:, 0], mode="clip")
+            rb = jnp.take(row_of, e[:, 1], mode="clip")
+        else:
+            ra, rb = e[:, 0], e[:, 1]
         a = jnp.take(rows, ra, axis=0, mode="clip")
         b = jnp.take(rows, rb, axis=0, mode="clip")
         cnt = jnp.sum(jax.lax.population_count(a & b), axis=1, dtype=jnp.int32)
@@ -296,10 +302,12 @@ class TrianglePlan:
                 # all-zero guard row for clip-gathers
                 rows = jnp.concatenate(
                     [rows, jnp.zeros((1, hw), jnp.uint32)], axis=0)
-                row_of = jnp.asarray(row_of)
                 # per-edge prefix width in words: covers {h: deg(h)>=deg(w)}
                 hub_deg_desc = deg_full[hub_vids]  # descending
                 dw = deg_full[hedges[:, 1]]
+                # resolve vertex ids -> row ids ON HOST: keeps the device
+                # hot loop a single gather per endpoint
+                hedges = row_of[hedges]
                 cnt = np.searchsorted(-hub_deg_desc, -dw, side="right")
                 words = -(-np.maximum(cnt, 1) // 32)
                 tier_ws = [w for w in (16, 32, 64, 128, 256) if w < hw] + [hw]
@@ -315,7 +323,6 @@ class TrianglePlan:
                     self.hub.append((w, wc, jnp.asarray(wedges),
                                      jnp.asarray(wvalid)))
                 self.hub_rows = rows
-                self.hub_row_of = row_of
                 narrow = all_edges[~hub_sel]
 
         widths = _tier_widths(pg.d_pad, tiers)
@@ -336,7 +343,7 @@ class TrianglePlan:
         if self.hub:
             for w, wc, wedges, wvalid in self.hub:
                 out.append(count_hub_edges(
-                    self.hub_rows, self.hub_row_of, wedges, wvalid,
+                    self.hub_rows, None, wedges, wvalid,
                     chunk=wc, width=w))
         return out
 
@@ -354,14 +361,14 @@ class TrianglePlan:
             method = self.method
 
             @jax.jit
-            def count_all(nbr, tier_arrays, hub_rows, hub_row_of, hub_arrays):
+            def count_all(nbr, tier_arrays, hub_rows, hub_arrays):
                 total = jnp.int64(0)
                 for (wa, wb, c), (edges, valid) in zip(tier_meta, tier_arrays):
                     total += count_dag_edges(nbr, edges, valid, chunk=c,
                                              method=method,
                                              width_a=wa, width_b=wb)
                 for (w, wc), (edges, valid) in zip(hub_meta, hub_arrays):
-                    total += count_hub_edges(hub_rows, hub_row_of,
+                    total += count_hub_edges(hub_rows, None,
                                              edges, valid, chunk=wc, width=w)
                 return total
 
@@ -369,12 +376,12 @@ class TrianglePlan:
         tier_arrays = [(e, v) for _, _, _, e, v in self.tiers]
         if self.hub:
             hub_arrays = [(e, v) for _, _, e, v in self.hub]
-            hub_rows, hub_row_of = self.hub_rows, self.hub_row_of
+            hub_rows = self.hub_rows
         else:
             hub_arrays = []
-            hub_rows = hub_row_of = jnp.zeros((1,), jnp.uint32)
+            hub_rows = jnp.zeros((1, 1), jnp.uint32)
         return self._fused_fn(self.padded.nbr, tier_arrays,
-                              hub_rows, hub_row_of, hub_arrays)
+                              hub_rows, hub_arrays)
 
     def run(self) -> int:
         return int(self._fused())
