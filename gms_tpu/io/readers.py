@@ -123,6 +123,32 @@ def read_gr(path: str, *, symmetrize: bool = True) -> CSRGraph:
     return build_csr(edges, num_nodes=n or None, symmetrize=symmetrize)
 
 
+def read_sg(path: str) -> CSRGraph:
+    """Reference-compatible binary serialized graph (reader.h:252-305).
+
+    Layout: [bool directed][int64 num_edges][int64 num_nodes]
+    [(n+1) int64 offsets][num_edges int32 neighbors]
+    [if directed: inverse offsets + neighbors] — the inverse CSR is
+    skipped on load (this framework derives transposes on demand).
+    """
+    weighted = path.endswith(".wsg")
+    with open(path, "rb") as f:
+        directed = bool(np.frombuffer(f.read(1), dtype=np.uint8)[0])
+        num_edges = int(np.frombuffer(f.read(8), dtype=np.int64)[0])
+        num_nodes = int(np.frombuffer(f.read(8), dtype=np.int64)[0])
+        indptr = np.frombuffer(f.read(8 * (num_nodes + 1)), dtype=np.int64)
+        if weighted:
+            pairs = np.frombuffer(f.read(8 * num_edges), dtype=np.int32)
+            indices, weights = pairs[0::2].copy(), pairs[1::2].copy()
+        else:
+            indices = np.frombuffer(f.read(4 * num_edges), dtype=np.int32)
+            weights = None
+    return CSRGraph(indptr, indices, directed=directed, weights=weights)
+
+
+read_wsg = read_sg
+
+
 def save_npz(g: CSRGraph, path: str) -> None:
     """Binary serialized graph — role of .sg (gapbs/writer.h)."""
     payload = dict(indptr=g.indptr, indices=g.indices,
@@ -145,6 +171,8 @@ _READERS = {
     ".graph": read_metis,
     ".gr": read_gr,
     ".npz": lambda p, **kw: load_npz(p),
+    ".sg": lambda p, **kw: read_sg(p),
+    ".wsg": lambda p, **kw: read_sg(p),
 }
 
 
@@ -155,6 +183,6 @@ def read_graph(path: str, *, symmetrize: bool = True) -> CSRGraph:
     if ext not in _READERS:
         raise ValueError(f"unsupported graph format: {ext!r} ({path})")
     reader = _READERS[ext]
-    if ext in (".graph", ".npz"):
+    if ext in (".graph", ".npz", ".sg", ".wsg"):
         return reader(path)
     return reader(path, symmetrize=symmetrize)
