@@ -1,0 +1,113 @@
+"""Build + run the C++ reference (spcl/gms) on THIS host and record baselines.
+
+Produces/updates `baseline_measured.json` at the repo root, which `bench.py`
+reads to compute `vs_baseline`. The reference publishes no numbers
+(BASELINE.md), so the baseline is measured: each benchmark binary is built
+Release (-O3 -march=native -fopenmp, the reference's own flags,
+/root/reference/CMakeLists.txt:12) and run on the same deterministic
+Graph500 Kronecker workload bench.py uses (-g kronecker SCALE --deg 16,
+reference seed gapbs/util.h kRandSeed).
+
+Usage:
+    python scripts/measure_reference.py [--ref /root/reference]
+        [--build /tmp/refbuild] [--scale 18] [--targets tc,kclist,bk]
+
+Timings are parsed from the reference's own stdout ("Trial Time" /
+"Average Time" lines, gms/third_party/gapbs/util.h:31-33 PrintTime and
+common/benchmark.h:116-133).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# target -> (binary name, extra argv, result-key prefix)
+TARGETS = {
+    "tc": ("triangle_count", [], "tc"),
+    "kclist": ("k_clique_list_danisch_node_parallel",
+               ["-p", "clique-size=5"], "kclique5"),
+    "bk": ("maximal_clique_enum_bron_kerbosch", [], "bk"),
+}
+
+
+def run(cmd, **kw):
+    print("+", " ".join(cmd), file=sys.stderr)
+    return subprocess.run(cmd, check=True, **kw)
+
+
+def build(ref: str, build_dir: str, targets: list[str]) -> None:
+    os.makedirs(build_dir, exist_ok=True)
+    if not os.path.exists(os.path.join(build_dir, "CMakeCache.txt")):
+        run(["cmake", ref, "-DCMAKE_BUILD_TYPE=Release", "-DBUILD_TESTS=OFF"],
+            cwd=build_dir)
+    names = [TARGETS[t][0] for t in targets]
+    tool = ["ninja"] if os.path.exists(os.path.join(build_dir, "build.ninja")) \
+        else ["make", f"-j{os.cpu_count()}"]
+    run(tool + names, cwd=build_dir)
+
+
+def find_binary(build_dir: str, name: str) -> str:
+    for root, _dirs, files in os.walk(build_dir):
+        if name in files and os.access(os.path.join(root, name), os.X_OK):
+            return os.path.join(root, name)
+    raise FileNotFoundError(name)
+
+
+def trial_times(stdout: str) -> list[float]:
+    return [float(m) for m in re.findall(
+        r"(?:Trial Time|trial time)\s*:?\s*([0-9.eE+-]+)", stdout)]
+
+
+def measure(binary: str, scale: int, extra: list[str]) -> dict:
+    cmd = [binary, "-t", str(os.cpu_count()), "-n", "1",
+           "-g", "kronecker", str(scale), "--deg", "16"] + extra
+    out = run(cmd, capture_output=True, text=True).stdout
+    times = trial_times(out)
+    if not times:  # fall back to the @@@ machine rows (first column = time)
+        times = [float(line.split()[1]) for line in out.splitlines()
+                 if line.startswith("@@@") and len(line.split()) > 1]
+    m = re.search(r"(\d+)\s+undirected edges", out)
+    edges = int(m.group(1)) if m else None
+    return {"best_trial_seconds": min(times), "edges": edges,
+            "all_trials": times}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ref", default="/root/reference")
+    ap.add_argument("--build", default="/tmp/refbuild")
+    ap.add_argument("--scale", type=int, default=18)
+    ap.add_argument("--targets", default="tc")
+    args = ap.parse_args()
+    targets = args.targets.split(",")
+
+    build(args.ref, args.build, targets)
+
+    path = os.path.join(REPO, "baseline_measured.json")
+    data = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            data = json.load(f)
+    for t in targets:
+        name, extra, prefix = TARGETS[t]
+        r = measure(find_binary(args.build, name), args.scale, extra)
+        data[f"{prefix}_rmat{args.scale}_trial_seconds"] = r["best_trial_seconds"]
+        if r["edges"]:
+            data[f"{prefix}_rmat{args.scale}_edges"] = r["edges"]
+            data[f"{prefix}_rmat{args.scale}_edges_per_sec"] = (
+                r["edges"] / r["best_trial_seconds"])
+        print(t, r, file=sys.stderr)
+    with open(path, "w") as f:
+        json.dump(data, f, indent=2)
+    print(json.dumps(data, indent=2))
+
+
+if __name__ == "__main__":
+    main()
