@@ -31,9 +31,50 @@ from gms_tpu.graphs.tiles import PaddedGraph, SENTINEL
 _INF = jnp.int32(np.iinfo(np.int32).max)
 
 
-def _prep(g: CSRGraph):
-    pg = PaddedGraph.from_csr(g)
-    return pg.nbr, pg.deg, g.num_nodes
+def _prep(g):
+    """Padded device rows from any graph representation.
+
+    Role of the reference's representation-polymorphic kernel matrix
+    (log_graph/CMakeLists.txt:23-46 compiles each kernel × {plain, kbit,
+    bit-tree, varint}): every kernel here accepts CSRGraph, PaddedGraph,
+    KbitGraph, HybridGraph, or KbitGraphBucketed. Compressed forms are
+    decoded ON DEVICE (a vectorized shift/mask program, see
+    graphs/compressed.py) into padded rows once per kernel invocation;
+    `bfs_kbit` additionally re-decodes from the packed words every level —
+    the compute-from-compressed tradeoff the Log(Graph) experiment studies.
+    """
+    from gms_tpu.graphs import compressed as _c
+
+    if isinstance(g, CSRGraph):
+        pg = PaddedGraph.from_csr(g)
+        return pg.nbr, pg.deg, g.num_nodes
+    if isinstance(g, PaddedGraph):
+        return g.nbr, g.deg, g.num_nodes
+    if isinstance(g, _c.KbitGraph):
+        return g.nbr, g.deg, g.num_nodes
+    if isinstance(g, _c.HybridGraph):
+        return _hybrid_rows(g), g.kbit.deg, g.num_nodes
+    if isinstance(g, _c.KbitGraphBucketed):
+        nbr = jnp.asarray(g.decode_all())
+        deg = jnp.sum(nbr != SENTINEL, axis=1, dtype=jnp.int32)
+        return nbr, deg, g.num_nodes
+    raise TypeError(f"unsupported graph representation: {type(g)!r}")
+
+
+def _hybrid_rows(g):
+    """Device-materialized padded rows of a HybridGraph (k-bit + bitmap)."""
+    from gms_tpu.sets.bitmap_ops import cardinality, to_ids
+
+    kb = g.kbit.nbr                                   # [V_pad, Dk]
+    width = kb.shape[1]
+    if len(g.bitmap_vids):
+        bm_deg = int(np.asarray(cardinality(g.bitmap_rows)).max(initial=0))
+        width = max(width, int(np.ceil(max(bm_deg, 1) / 128)) * 128)
+        kb = jnp.pad(kb, ((0, 0), (0, width - kb.shape[1])),
+                     constant_values=SENTINEL)
+        ids = to_ids(g.bitmap_rows, width)            # [Nb, width]
+        kb = kb.at[g.bitmap_vids].set(ids)
+    return kb
 
 
 # ---------------------------------------------------------------------------
@@ -63,12 +104,108 @@ def _bfs_dense(nbr, source):
     return dist
 
 
-def bfs(g: CSRGraph, source: int) -> np.ndarray:
+@functools.partial(jax.jit, static_argnames=("f_cap",))
+def _bfs_dopt(nbr, source, *, f_cap: int):
+    """Direction-optimizing BFS (role of kbit_bfs.cc:46-60 BUStep/TDStep).
+
+    Levels whose frontier fits f_cap run TOP-DOWN: the frontier compacts to
+    a fixed-size id buffer, only those rows are gathered, and discoveries
+    scatter-min into dist — O(f_cap * D) instead of the bottom-up pull's
+    O(V * D). Dense frontiers run the pull step. This bounds sparse-frontier
+    work on high-diameter graphs where pull-only pays O(V*D) per level.
+    Assumes symmetric adjacency (undirected graphs), like the pull step.
+    """
+    V, D = nbr.shape
+    valid = nbr != SENTINEL
+    dist0 = jnp.full((V,), _INF).at[source].set(0)
+
+    def cond(state):
+        dist, fcount, it = state
+        return fcount > 0
+
+    def body(state):
+        dist, fcount, it = state
+        frontier = dist == it
+
+        def pull(dist):
+            nf = jnp.take(frontier, nbr, axis=0, mode="clip") & valid
+            reach = jnp.any(nf, axis=1) & (dist == _INF)
+            return jnp.where(reach, it + 1, dist)
+
+        def push(dist):
+            # fill slots clip to V-1; re-processing a frontier row is
+            # harmless (scatter-min is idempotent)
+            ids = jnp.nonzero(frontier, size=f_cap, fill_value=V)[0]
+            mask = jnp.take(frontier, ids, mode="clip")
+            rows = jnp.take(nbr, ids, axis=0, mode="clip")
+            ok = (rows != SENTINEL) & mask[:, None]
+            tgt = jnp.where(ok, rows, V)
+            # min(it+1) never lowers already-settled distances (<= it)
+            return dist.at[tgt.reshape(-1)].min(it + 1, mode="drop")
+
+        dist = jax.lax.cond(fcount <= f_cap, push, pull, dist)
+        nxt = jnp.sum(dist == it + 1, dtype=jnp.int32)
+        return dist, nxt, it + 1
+
+    dist, _, _ = jax.lax.while_loop(cond, body,
+                                    (dist0, jnp.int32(1), jnp.int32(0)))
+    return dist
+
+
+def bfs(g, source: int, *, direction_optimizing: bool = True) -> np.ndarray:
     """Hop distances from source; unreachable = -1 (GAPBS parent convention
-    replaced by distances, the quantity its verifier checks)."""
+    replaced by distances, the quantity its verifier checks).
+
+    Accepts any representation `_prep` knows (CSR, padded, k-bit, hybrid).
+    direction_optimizing switches small frontiers to a top-down gathered
+    step (kbit_bfs.cc BUStep/TDStep role); pull-only otherwise.
+    """
     nbr, _deg, n = _prep(g)
-    dist = np.asarray(_bfs_dense(nbr, jnp.int32(source)))[:n]
+    if direction_optimizing and n >= 32:
+        f_cap = max(64, nbr.shape[0] // 16)
+        dist = np.asarray(_bfs_dopt(nbr, jnp.int32(source), f_cap=f_cap))[:n]
+    else:
+        dist = np.asarray(_bfs_dense(nbr, jnp.int32(source)))[:n]
     return np.where(dist == np.iinfo(np.int32).max, -1, dist).astype(np.int32)
+
+
+def bfs_kbit(kg, source: int) -> np.ndarray:
+    """BFS computing FROM the k-bit packed form: every level re-decodes the
+    packed words on device (kbit_bfs.cc role — the Log(Graph)
+    compute-from-compressed experiment; trades VPU shift/mask work for
+    reading 32/k-fold fewer adjacency bytes per level)."""
+    from gms_tpu.graphs.compressed import kbit_decode_rows
+
+    dist = np.asarray(_bfs_kbit(kg.packed, kg.deg, jnp.int32(source),
+                                k=kg.k, d_pad=kg.d_pad))[: kg.num_nodes]
+    return np.where(dist == np.iinfo(np.int32).max, -1, dist).astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "d_pad"))
+def _bfs_kbit(packed, deg, source, *, k: int, d_pad: int):
+    from gms_tpu.graphs.compressed import kbit_decode_rows
+
+    V = packed.shape[0]
+    vids = jnp.arange(V, dtype=jnp.int32)
+    dist0 = jnp.full((V,), _INF).at[source].set(0)
+
+    def cond(state):
+        dist, frontier, it = state
+        return frontier.any()
+
+    def body(state):
+        dist, frontier, it = state
+        nbr = kbit_decode_rows(packed, deg, vids, k=k, d_pad=d_pad)
+        valid = nbr != SENTINEL
+        nf = jnp.take(frontier, nbr, axis=0, mode="clip") & valid
+        reach = jnp.any(nf, axis=1) & (dist == _INF)
+        dist = jnp.where(reach, it + 1, dist)
+        return dist, reach, it + 1
+
+    dist, _, _ = jax.lax.while_loop(
+        cond, body, (dist0, jnp.zeros((V,), bool).at[source].set(True),
+                     jnp.int32(0)))
+    return dist
 
 
 # ---------------------------------------------------------------------------
@@ -156,20 +293,29 @@ def _sssp(nbr, wgt, source):
     return dist
 
 
-def sssp(g: CSRGraph, source: int, weights: np.ndarray | None = None) -> np.ndarray:
+def sssp(g, source: int, weights: np.ndarray | None = None) -> np.ndarray:
     """Shortest path distances; weights int per directed CSR slot (unit if
-    None); unreachable = -1."""
-    pg = PaddedGraph.from_csr(g)
-    if weights is None:
-        weights = (g.weights if g.weights is not None
-                   else np.ones(g.num_edges, dtype=np.int32))
-    wp = np.zeros((pg.v_pad, pg.d_pad), dtype=np.int32)
-    deg = g.degrees.astype(np.int64)
-    rows = np.repeat(np.arange(g.num_nodes), deg)
-    offs = np.arange(g.num_edges, dtype=np.int64) - np.repeat(g.indptr[:-1], deg)
-    wp[rows, offs] = weights
-    dist = np.asarray(_sssp(pg.nbr, jnp.asarray(wp), jnp.int32(source)))
-    dist = dist[: g.num_nodes]
+    None); unreachable = -1. Non-CSR representations run with unit weights
+    (the compressed forms are unweighted, VERDICT 'Kbit_Weighted' note:
+    weighted variants pair a CSR weight tile with any decoded row source)."""
+    if isinstance(g, CSRGraph):
+        pg = PaddedGraph.from_csr(g)
+        if weights is None:
+            weights = (g.weights if g.weights is not None
+                       else np.ones(g.num_edges, dtype=np.int32))
+        wp = np.zeros((pg.v_pad, pg.d_pad), dtype=np.int32)
+        deg = g.degrees.astype(np.int64)
+        rows = np.repeat(np.arange(g.num_nodes), deg)
+        offs = np.arange(g.num_edges, dtype=np.int64) - np.repeat(g.indptr[:-1], deg)
+        wp[rows, offs] = weights
+        nbr, n = pg.nbr, g.num_nodes
+        wp = jnp.asarray(wp)
+    else:
+        if weights is not None:
+            raise ValueError("per-slot weights require a CSRGraph")
+        nbr, _deg, n = _prep(g)
+        wp = jnp.where(nbr != SENTINEL, jnp.int32(1), jnp.int32(0))
+    dist = np.asarray(_sssp(nbr, wp, jnp.int32(source)))[:n]
     big = np.iinfo(np.int64).max // 4
     return np.where(dist >= big, -1, dist)
 

@@ -226,6 +226,112 @@ def build_hub_rows(nbr, hub_id, wide_ids, *, hub_words: int):
     return out[:, :hub_words]
 
 
+@functools.partial(jax.jit, static_argnames=("chunk", "width", "k"))
+def count_hub_groups(rows, b_ids, nbrs, *, chunk: int, width: int, k: int):
+    """Σ over groups g, slots j of popcount(rows[b_ids[g]] & rows[nbrs[g,j]]).
+
+    The group-major hub kernel: wide DAG edges are grouped by their
+    higher-(deg,id) endpoint v (which alone determines the exact bitmap
+    prefix width), so v's row is gathered ONCE per K-slot piece instead of
+    once per edge — on this chip random row-gathers are the bottleneck
+    (measured ~2x below stream bandwidth), so halving gathered bytes is the
+    single biggest lever. Padding slots point at the all-zero guard row and
+    contribute nothing; no validity masks are needed.
+
+    rows:  uint32[Nw+1, HW] hub bitmaps, last row all-zero (guard)
+    b_ids: int32[G] row index of each piece's v (guard-padded)
+    nbrs:  int32[G, k] row indices of the piece's u's (guard-padded)
+    width: static prefix width in words (tier contract: the whole
+        intersection of every edge in this batch lies in rows[:, :width])
+    """
+    if width < rows.shape[1]:
+        rows = jax.lax.slice_in_dim(rows, 0, width, axis=1)
+    bc = b_ids.reshape(-1, chunk)
+    nc = nbrs.reshape(-1, chunk, k)
+
+    def body(acc, xs):
+        b_idx, n_idx = xs
+        b = jnp.take(rows, b_idx, axis=0)                       # [C, W]
+        a = jnp.take(rows, n_idx.reshape(-1), axis=0)           # [C*k, W]
+        a = a.reshape(chunk, k, b.shape[1])
+        cnt = jax.lax.population_count(a & b[:, None, :])
+        return acc + jnp.sum(cnt, dtype=jnp.int64), None
+
+    total, _ = jax.lax.scan(body, jnp.int64(0), (bc, nc))
+    return total
+
+
+def _build_hub_groups(hedges_rows, words, tier_ws, guard_row):
+    """Group wide edges by their v endpoint into K-slot pieces per width tier.
+
+    hedges_rows: int32[E, 2] (u_row, v_row) with edges SORTED by v_row
+        (all edges of one v contiguous) and all edges of one v sharing
+        one width (words is per-edge but constant within a group).
+    Returns {(width, K): (b_ids[G], nbrs[G, K])} numpy arrays, guard-padded.
+    """
+    KS = (16, 64)  # remainder tier, full tier
+    v_rows = hedges_rows[:, 1]
+    u_rows = np.ascontiguousarray(hedges_rows[:, 0])
+    uniq, starts, counts = np.unique(v_rows, return_index=True,
+                                     return_counts=True)
+    gw = words[starts]  # per-group width (constant within group)
+    wtier = np.searchsorted(tier_ws, gw, side="left")
+
+    out = {}
+    Kmax = KS[-1]
+    full = counts // Kmax
+    rem = counts - full * Kmax
+    # piece lists: (group_index, piece_start, piece_len, K)
+    n_full = int(full.sum())
+    gi_full = np.repeat(np.arange(len(uniq)), full)
+    within = np.arange(n_full) - np.repeat(np.cumsum(full) - full, full)
+    st_full = starts[gi_full] + Kmax * within
+    ln_full = np.full(n_full, Kmax, dtype=np.int64)
+    k_full = np.full(n_full, Kmax, dtype=np.int64)
+
+    has_rem = rem > 0
+    gi_rem = np.flatnonzero(has_rem)
+    st_rem = starts[gi_rem] + Kmax * full[gi_rem]
+    ln_rem = rem[gi_rem]
+    k_rem = np.where(ln_rem <= KS[0], KS[0], Kmax)
+
+    gi = np.concatenate([gi_full, gi_rem])
+    st = np.concatenate([st_full, st_rem])
+    ln = np.concatenate([ln_full, ln_rem])
+    kk = np.concatenate([k_full, k_rem])
+
+    u_pad = np.concatenate([u_rows, np.full(Kmax, guard_row, np.int32)])
+    for ti, w in enumerate(tier_ws):
+        for K in KS:
+            sel = (wtier[gi] == ti) & (kk == K)
+            if not sel.any():
+                continue
+            s, l, g = st[sel], ln[sel], gi[sel]
+            idx = s[:, None] + np.arange(K)[None, :]
+            valid = np.arange(K)[None, :] < l[:, None]
+            nbrs = np.where(valid, u_pad[np.minimum(idx, len(u_rows))],
+                            guard_row).astype(np.int32)
+            b_ids = v_rows[starts[g]].astype(np.int32)
+            out[(w, K)] = (b_ids, nbrs)
+    return out
+
+
+def _group_chunk(width: int, k: int) -> int:
+    """Scan chunk (groups per step): bounds per-step word traffic to ~8MB."""
+    c = (1 << 21) // ((k + 1) * width)
+    return int(min(1 << 14, max(1 << 3, 1 << int(np.log2(max(c, 1))))))
+
+
+def _pad_groups(b_ids, nbrs, chunk, guard_row):
+    g = len(b_ids)
+    gp = round_up(max(g, 1), chunk)
+    b = np.full(gp, guard_row, dtype=np.int32)
+    b[:g] = b_ids
+    n = np.full((gp, nbrs.shape[1]), guard_row, dtype=np.int32)
+    n[:g] = nbrs
+    return b, n
+
+
 # per-scan-step compare budget: chunk * width^2 ≈ this many compare ops
 _WORK_BUDGET = 1 << 26
 
@@ -292,36 +398,37 @@ class TrianglePlan:
                 hub_id[hub_vids] = np.arange(n_hub, dtype=np.int32)
                 hedges = all_edges[hub_sel]
                 endpoint_ids = np.unique(hedges.reshape(-1)).astype(np.int32)
-                row_of = np.full(pg.v_pad + 1, np.int32(len(endpoint_ids)),
-                                 np.int32)
+                guard_row = len(endpoint_ids)
+                row_of = np.full(pg.v_pad + 1, np.int32(guard_row), np.int32)
                 row_of[endpoint_ids] = np.arange(len(endpoint_ids),
                                                  dtype=np.int32)
                 rows = build_hub_rows(
                     pg.nbr, jnp.asarray(hub_id), jnp.asarray(endpoint_ids),
                     hub_words=hw)
-                # all-zero guard row for clip-gathers
+                # all-zero guard row: padding slots gather it and add 0
                 rows = jnp.concatenate(
                     [rows, jnp.zeros((1, hw), jnp.uint32)], axis=0)
-                # per-edge prefix width in words: covers {h: deg(h)>=deg(w)}
+                # per-edge prefix width in words: covers {h: deg(h)>=deg(w)},
+                # a function of the v endpoint alone — so grouping edges by v
+                # (count_hub_groups) preserves exact per-group widths.
                 hub_deg_desc = deg_full[hub_vids]  # descending
                 dw = deg_full[hedges[:, 1]]
-                # resolve vertex ids -> row ids ON HOST: keeps the device
-                # hot loop a single gather per endpoint
-                hedges = row_of[hedges]
                 cnt = np.searchsorted(-hub_deg_desc, -dw, side="right")
                 words = -(-np.maximum(cnt, 1) // 32)
+                # sort edges by v so each group is contiguous; resolve vertex
+                # ids -> row ids ON HOST (device row_of indirection measured
+                # 3.6x the row gather itself)
+                order = np.lexsort((hedges[:, 0], hedges[:, 1]))
+                hedges = row_of[hedges[order]]
+                words = words[order]
                 tier_ws = [w for w in (16, 32, 64, 128, 256) if w < hw] + [hw]
-                wtier = np.searchsorted(tier_ws, words, side="left")
+                groups = _build_hub_groups(hedges, words, tier_ws, guard_row)
                 self.hub = []
-                for i, w in enumerate(tier_ws):
-                    part = hedges[wtier == i]
-                    if not len(part):
-                        continue
-                    wc = chunk or int(min(1 << 15,
-                                          max(1 << 10, (1 << 23) // w)))
-                    wedges, wvalid = _pad_edges(part, wc)
-                    self.hub.append((w, wc, jnp.asarray(wedges),
-                                     jnp.asarray(wvalid)))
+                for (w, k), (b_ids, nbrs) in groups.items():
+                    gc = chunk or _group_chunk(w, k)
+                    b_ids, nbrs = _pad_groups(b_ids, nbrs, gc, guard_row)
+                    self.hub.append((w, k, gc, jnp.asarray(b_ids),
+                                     jnp.asarray(nbrs)))
                 self.hub_rows = rows
                 narrow = all_edges[~hub_sel]
 
@@ -341,61 +448,128 @@ class TrianglePlan:
             for wa, wb, c, edges, valid in self.tiers
         ]
         if self.hub:
-            for w, wc, wedges, wvalid in self.hub:
-                out.append(count_hub_edges(
-                    self.hub_rows, None, wedges, wvalid,
-                    chunk=wc, width=w))
+            for w, k, gc, b_ids, nbrs in self.hub:
+                out.append(count_hub_groups(
+                    self.hub_rows, b_ids, nbrs, chunk=gc, width=w, k=k))
         return out
 
-    def _fused(self):
+    def _fused(self, shift):
         """One jitted program summing every tier — single dispatch + D2H.
 
         Per-kernel dispatch latency is material on remote-attached chips
         (tens of ms round-trip each); fusing the whole tier set into one
         XLA program pays it once (reference analog: one timed trial =
         one kernel invocation, common/benchmark.h:110-115).
+
+        `shift` rotates every work array (a count-preserving permutation);
+        run_steady chains it through the previous trial's count so repeated
+        trials are genuinely re-executed (the platform memoizes pure
+        executions on identical inputs, which would fake the timing).
         """
         if getattr(self, "_fused_fn", None) is None:
-            tier_meta = [(wa, wb, c) for wa, wb, c, _, _ in self.tiers]
-            hub_meta = [(w, wc) for w, wc, _, _ in (self.hub or [])]
-            method = self.method
+            body = self._count_body()
+            self._fused_fn = jax.jit(body)
+            self._steady_fn = jax.jit(functools.partial(
+                self._steady_scan, body), static_argnames=("trials",))
+        return self._fused_fn(*self._arrays(), shift)
 
-            @jax.jit
-            def count_all(nbr, tier_arrays, hub_rows, hub_arrays):
-                total = jnp.int64(0)
-                for (wa, wb, c), (edges, valid) in zip(tier_meta, tier_arrays):
-                    total += count_dag_edges(nbr, edges, valid, chunk=c,
-                                             method=method,
-                                             width_a=wa, width_b=wb)
-                for (w, wc), (edges, valid) in zip(hub_meta, hub_arrays):
-                    total += count_hub_edges(hub_rows, None,
-                                             edges, valid, chunk=wc, width=w)
-                return total
+    def _count_body(self):
+        tier_meta = [(wa, wb, c) for wa, wb, c, _, _ in self.tiers]
+        hub_meta = [(w, k, gc) for w, k, gc, _, _ in (self.hub or [])]
+        method = self.method
 
-            self._fused_fn = count_all
+        def count_all(nbr, tier_arrays, hub_rows, hub_arrays, shift):
+            total = jnp.int64(0)
+            for (wa, wb, c), (edges, valid) in zip(tier_meta, tier_arrays):
+                e = jnp.roll(edges, shift, axis=0)
+                v = jnp.roll(valid, shift, axis=0)
+                total += count_dag_edges(nbr, e, v, chunk=c,
+                                         method=method,
+                                         width_a=wa, width_b=wb)
+            for (w, k, gc), (b_ids, nbrs) in zip(hub_meta, hub_arrays):
+                b = jnp.roll(b_ids, shift, axis=0)
+                n = jnp.roll(nbrs, shift, axis=0)
+                total += count_hub_groups(hub_rows, b, n,
+                                          chunk=gc, width=w, k=k)
+            return total
+
+        return count_all
+
+    @staticmethod
+    def _steady_scan(body, nbr, tier_arrays, hub_rows, hub_arrays, shift0,
+                     *, trials: int):
+        """All trials inside ONE program: lax.scan over a shift chain (each
+        trial's rotation derives from the previous count, so no execution
+        can be skipped), emitting every trial's count."""
+
+        def step(shift, _):
+            c = body(nbr, tier_arrays, hub_rows, hub_arrays, shift)
+            nxt = (c % jnp.int64(1009)).astype(jnp.int32) + shift + 1
+            return nxt, c
+
+        _, counts = jax.lax.scan(step, shift0, None, length=trials)
+        return counts
+
+    def _arrays(self):
         tier_arrays = [(e, v) for _, _, _, e, v in self.tiers]
         if self.hub:
-            hub_arrays = [(e, v) for _, _, e, v in self.hub]
+            hub_arrays = [(b, n) for _, _, _, b, n in self.hub]
             hub_rows = self.hub_rows
         else:
             hub_arrays = []
             hub_rows = jnp.zeros((1, 1), jnp.uint32)
-        return self._fused_fn(self.padded.nbr, tier_arrays,
-                              hub_rows, hub_arrays)
+        return self.padded.nbr, tier_arrays, hub_rows, hub_arrays
 
     def run(self) -> int:
-        return int(self._fused())
+        return int(self._fused(jnp.int32(0)))
+
+    def run_steady(self, trials: int = 8):
+        """Steady-state timing: (count, seconds_per_trial).
+
+        All `trials` re-executions run inside ONE jitted program
+        (`_steady_scan`) with ONE device->host readback: per-dispatch queue
+        overhead and the tunnel round-trip of this remote-attached platform
+        are paid once, not per trial — the per-trial figure is device
+        execution time. Counts are asserted identical across trials.
+        """
+        import time as _time
+
+        self.run()  # compile the single-shot program (used by callers)
+        args = self._arrays()
+        # warmup call: compiles the scan program + first-execution penalty
+        np.asarray(self._steady_fn(*args, jnp.int32(3), trials=trials))
+        t0 = _time.perf_counter()
+        vals = np.asarray(self._steady_fn(*args, jnp.int32(11), trials=trials))
+        dt = (_time.perf_counter() - t0) / trials
+        assert (vals == vals[0]).all(), f"nondeterministic counts: {vals}"
+        return int(vals[0]), dt
+
+    def traffic_bytes(self) -> int:
+        """Modeled HBM gather traffic of one trial (for roofline reporting)."""
+        total = 0
+        for wa, wb, c, edges, valid in self.tiers:
+            total += len(valid) * (wa + wb) * 4
+        for w, k, gc, b_ids, nbrs in (self.hub or []):
+            total += (len(b_ids) + nbrs.size) * w * 4
+        return total
 
 
 def triangle_count(
-    g: CSRGraph, *, rank: np.ndarray | None = None, chunk: int | None = None,
+    g, *, rank: np.ndarray | None = None, chunk: int | None = None,
     method: str = "compare", tiers=DEFAULT_TIERS,
 ) -> int:
     """End-to-end total triangle count of an undirected graph.
 
     Edges are bucketed into degree tiers; each tier runs the batched
-    intersection at its own (static) row width and chunk size.
+    intersection at its own (static) row width and chunk size. Accepts any
+    graph representation (CSRGraph, KbitGraph, HybridGraph,
+    KbitGraphBucketed — compressed forms decode through graphs.compressed.
+    as_csr, the log_graph tc.cc × representation matrix role).
     """
+    if not isinstance(g, CSRGraph):
+        from gms_tpu.graphs.compressed import as_csr
+
+        g = as_csr(g)
     return TrianglePlan(g, rank=rank, chunk=chunk, method=method, tiers=tiers).run()
 
 
@@ -414,6 +588,23 @@ def triangle_count_per_vertex(
         chunk=chunk, num_segments=pg.v_pad, method=method,
     )
     return np.asarray(out)[: g.num_nodes]
+
+
+def triangle_count_dense(g: CSRGraph, *, chunk: int = 1024) -> int:
+    """Whole-graph dense-bitmap TC (the RoaringGraph-variant role,
+    triangle_count.cc:22-48 over SetGraph<RoaringSet>): DAG rows as
+    V-wide bitmaps (graphs/bitmap.py BitmapGraph), count =
+    Σ_{(u,v)∈DAG} popcount(row_u & row_v). O(V²/8) bytes — the small/
+    moderate-V representation benchmark, not the scale path (that is
+    TrianglePlan's degree-tiered hub-prefix form)."""
+    from gms_tpu.graphs.bitmap import BitmapGraph
+
+    rank = orient.degree_rank(g)
+    dag = orient.orient(g, rank)
+    bg = BitmapGraph.from_csr(dag)
+    edges, valid = _pad_edges(dag.edge_array(), chunk)
+    return int(count_hub_edges(bg.words, None, jnp.asarray(edges),
+                               jnp.asarray(valid), chunk=chunk))
 
 
 # ---------------------------------------------------------------------------

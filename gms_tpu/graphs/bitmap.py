@@ -8,10 +8,12 @@ word-AND + popcount. TPU-first re-design: an UNcompressed rectangular bitmap
 
 because on the VPU a dense AND+popcount over 8x128 tiles at HBM bandwidth
 beats any branchy compressed decode. Memory is V^2/8 bits, so this layout is
-for moderate V or for *local* universes (per-root induced subgraphs in
-Bron-Kerbosch / kClist, where the universe is one neighborhood <= core bound;
-see gms_tpu/algorithms/mce.py, k_clique.py — that is where the reference uses
-Roaring subgraphs too, e.g. sub_graph/roaring_sub_graph.h:13-132).
+for moderate V (the whole-graph consumer is
+algorithms/triangle_count.py:triangle_count_dense) or for *local* universes
+(per-root induced bitsets in Bron-Kerbosch / kClist, where the universe is
+one neighborhood <= core bound; see gms_tpu/algorithms/bron_kerbosch.py,
+k_clique.py — that is where the reference uses Roaring subgraphs too, e.g.
+sub_graph/roaring_sub_graph.h:13-132).
 """
 
 from __future__ import annotations

@@ -291,6 +291,30 @@ class HybridGraph:
         return total / max(self.num_edges, 1)
 
 
+def as_csr(rep) -> CSRGraph:
+    """Decode any compressed representation back to a host CSRGraph.
+
+    Bridge for algorithms whose preparation is host-side (e.g. the tiered
+    TrianglePlan): the compressed form is the storage/footprint option
+    (log_graph converter.cc role); kernels that can compute from padded
+    rows take the rep directly via gapbs._prep.
+    """
+    if isinstance(rep, CSRGraph):
+        return rep
+    if isinstance(rep, KbitGraph):
+        rows = np.asarray(rep.nbr)[: rep.num_nodes]
+    elif isinstance(rep, (KbitGraphBucketed, HybridGraph)):
+        rows = rep.decode_all()[: rep.num_nodes]
+    else:
+        raise TypeError(f"unsupported representation: {type(rep)!r}")
+    sent = np.int32(SENTINEL)
+    deg = (rows != sent).sum(axis=1)
+    indptr = np.zeros(rep.num_nodes + 1, dtype=np.int64)
+    indptr[1:] = np.cumsum(deg)
+    indices = rows[rows != sent].astype(np.int32)
+    return CSRGraph(indptr, indices, directed=False)
+
+
 def _mask_rows(g: CSRGraph, vids: np.ndarray) -> CSRGraph:
     keep = np.ones(g.num_nodes, dtype=bool)
     keep[vids] = False

@@ -88,3 +88,147 @@ def sharded_triangle_count(g, mesh: Mesh, *, rank=None, chunk: int = 1024,
     edges, valid = pad_edges_sharded(dag.edge_array(), chunk, len(mesh.devices))
     fn = sharded_edge_count_fn(mesh, chunk=chunk, method=method)
     return int(fn(pg.nbr, jnp.asarray(edges), jnp.asarray(valid)))
+
+
+class ShardedTrianglePlan:
+    """The TUNED TrianglePlan (2-D compare tiers + grouped hub-prefix
+    bitmaps, algorithms/triangle_count.py) over a device mesh — the same
+    single-chip kernels, with every work array (tier edge lists, hub group
+    lists) sharded on the mesh work axis and the adjacency + hub-bitmap
+    tables replicated; per-shard int64 counts psum-reduced. This is the
+    multi-chip path the driver dryrun and scaling_bench exercise; it shares
+    TrianglePlan's steady-state protocol (chained rotation shifts).
+    """
+
+    def __init__(self, g, mesh: Mesh, *, rank=None, method: str = "compare",
+                 hub_threshold: int | None = 65):
+        from gms_tpu.algorithms.triangle_count import (
+            TrianglePlan, count_dag_edges, count_hub_groups)
+        from gms_tpu.graphs.tiles import round_up
+
+        self.mesh = mesh
+        n = int(np.prod(mesh.devices.shape))
+        plan = TrianglePlan(g, rank=rank, method=method,
+                            hub_threshold=hub_threshold)
+        self.plan = plan
+        self.num_edges_undirected = plan.num_edges_undirected
+
+        def deal(arr, c):
+            """Deal work items (edges / group pieces) round-robin over
+            shards: shard i gets items i, i+n, i+2n... — contiguous-block
+            sharding would otherwise give the leading shard all the real
+            work (padding sits at the tail, and power-law group order
+            correlates with work). Item granularity (not chunk) so balance
+            holds even when a tier has fewer chunks than shards."""
+            m = len(arr)
+            order = np.concatenate([np.arange(i, m, n) for i in range(n)])
+            return arr[order]
+
+        tiers = []
+        for wa, wb, c, edges, valid in plan.tiers:
+            e, v = np.asarray(edges), np.asarray(valid)
+            ep = round_up(len(v), c * n)
+            e2 = np.zeros((ep, 2), np.int32); e2[: len(v)] = e
+            v2 = np.zeros(ep, np.int32); v2[: len(v)] = v
+            tiers.append((wa, wb, c, jnp.asarray(deal(e2, c)),
+                          jnp.asarray(deal(v2, c))))
+        hubs = []
+        if plan.hub:
+            guard = plan.hub_rows.shape[0] - 1
+            for w, k, gc, b_ids, nbrs in plan.hub:
+                b, nb = np.asarray(b_ids), np.asarray(nbrs)
+                gp = round_up(len(b), gc * n)
+                b2 = np.full(gp, guard, np.int32); b2[: len(b)] = b
+                n2 = np.full((gp, k), guard, np.int32); n2[: len(b)] = nb
+                hubs.append((w, k, gc, jnp.asarray(deal(b2, gc)),
+                             jnp.asarray(deal(n2, gc))))
+        self.tiers, self.hubs = tiers, hubs
+        self.hub_rows = (plan.hub_rows if plan.hub
+                         else jnp.zeros((1, 1), jnp.uint32))
+
+        tier_meta = [(wa, wb, c) for wa, wb, c, _, _ in tiers]
+        hub_meta = [(w, k, gc) for w, k, gc, _, _ in hubs]
+
+        def body(nbr, hub_rows, tier_arrays, hub_arrays, shift):
+            total = jnp.int64(0)
+            for (wa, wb, c), (edges, valid) in zip(tier_meta, tier_arrays):
+                e = jnp.roll(edges, shift, axis=0)
+                v = jnp.roll(valid, shift, axis=0)
+                total += count_dag_edges(nbr, e, v, chunk=c, method=method,
+                                         width_a=wa, width_b=wb)
+            for (w, k, gc), (b_ids, nbrs) in zip(hub_meta, hub_arrays):
+                b = jnp.roll(b_ids, shift, axis=0)
+                nn = jnp.roll(nbrs, shift, axis=0)
+                total += count_hub_groups(hub_rows, b, nn,
+                                          chunk=gc, width=w, k=k)
+            return jax.lax.psum(total, WORK_AXIS)
+
+        def steady_body(nbr, hub_rows, tier_arrays, hub_arrays, shift0,
+                        *, trials: int):
+            def step(shift, _):
+                c = body(nbr, hub_rows, tier_arrays, hub_arrays, shift)
+                nxt = (c % jnp.int64(1009)).astype(jnp.int32) + shift + 1
+                return nxt, c
+
+            _, counts = jax.lax.scan(step, shift0, None, length=trials)
+            return counts
+
+        in_specs = (
+            P(None, None), P(None, None),
+            [(P(WORK_AXIS, None), P(WORK_AXIS)) for _ in tiers],
+            [(P(WORK_AXIS), P(WORK_AXIS, None)) for _ in hubs],
+            P(),
+        )
+        self._fn = jax.jit(shard_map(body, mesh=mesh, in_specs=in_specs,
+                                     out_specs=P(), check_vma=False))
+        self._steady_fns = {}
+
+        def make_steady(trials):
+            if trials not in self._steady_fns:
+                self._steady_fns[trials] = jax.jit(shard_map(
+                    functools.partial(steady_body, trials=trials),
+                    mesh=mesh, in_specs=in_specs, out_specs=P(),
+                    check_vma=False))
+            return self._steady_fns[trials]
+
+        self._make_steady = make_steady
+
+    def _arrays(self):
+        tier_arrays = [(e, v) for _, _, _, e, v in self.tiers]
+        hub_arrays = [(b, nn) for _, _, _, b, nn in self.hubs]
+        return (self.plan.padded.nbr, self.hub_rows, tier_arrays, hub_arrays)
+
+    def _invoke(self, shift):
+        return self._fn(*self._arrays(), shift)
+
+    def run(self) -> int:
+        return int(self._invoke(jnp.int32(0)))
+
+    def run_steady(self, trials: int = 8):
+        """(count, seconds/trial) — all trials inside ONE program (scan over
+        a count-chained shift sequence), one fetch; same contract as
+        TrianglePlan.run_steady."""
+        import time as _time
+
+        fn = self._make_steady(trials)
+        args = self._arrays()
+        np.asarray(fn(*args, jnp.int32(3)))  # compile + first-exec penalty
+        t0 = _time.perf_counter()
+        vals = np.asarray(fn(*args, jnp.int32(11)))
+        dt = (_time.perf_counter() - t0) / trials
+        assert (vals == vals[0]).all(), f"nondeterministic counts: {vals}"
+        return int(vals[0]), dt
+
+    def shard_work_model(self) -> np.ndarray:
+        """Modeled gather bytes per shard (work-balance diagnostic)."""
+        n = int(np.prod(self.mesh.devices.shape))
+        work = np.zeros(n, dtype=np.int64)
+        for wa, wb, c, edges, valid in self.tiers:
+            v = np.asarray(valid).reshape(n, -1)
+            work += v.sum(axis=1).astype(np.int64) * (wa + wb) * 4
+        if self.hubs:
+            guard = self.hub_rows.shape[0] - 1
+            for w, k, gc, b_ids, nbrs in self.hubs:
+                nn = np.asarray(nbrs).reshape(n, -1)
+                work += (nn != guard).sum(axis=1).astype(np.int64) * w * 4
+        return work

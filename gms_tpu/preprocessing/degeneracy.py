@@ -176,7 +176,7 @@ def adg_ordering_rank(
 
 
 def adg_ordering_rank_device(
-    g: CSRGraph, eps: float = 0.1, boundary: str = "avg",
+    g: CSRGraph, eps: float = 0.1, boundary: str = "avg", seed: int = 0,
 ) -> np.ndarray:
     """ADG fully on device — the jnp form of `adg_ordering_rank`.
 
@@ -186,7 +186,9 @@ def adg_ordering_rank_device(
     of a lax.while_loop over [V_pad] state with the degree update as a
     padded-row gather+sum (the reference's intersect_count PULL,
     :58-66). Deterministic boundaries ("avg"/"min") match the host version
-    rank-for-rank.
+    rank-for-rank; "prob_min"/"prob_median" (boundary_function.h:9-93
+    sampled variants) draw 128 alive-vertex degrees per round from a
+    fold_in-derived key (deterministic given `seed`).
     """
     import jax
     import jax.numpy as jnp
@@ -196,27 +198,42 @@ def adg_ordering_rank_device(
     n = g.num_nodes
     if n == 0:
         return np.zeros(0, dtype=np.int32)
-    if boundary not in ("avg", "min"):
-        raise ValueError("device ADG supports deterministic boundaries avg|min")
+    if boundary not in ("avg", "min", "prob_min", "prob_median"):
+        raise ValueError(f"unknown device ADG boundary {boundary!r}")
     pg = PaddedGraph.from_csr(g)
     nbr, V = pg.nbr, pg.v_pad
     valid = nbr != SENTINEL
     real = jnp.arange(V) < n
     big = jnp.int64(np.iinfo(np.int64).max // 4)
+    key0 = jax.random.PRNGKey(seed)
+    samples = 128
 
     def cond(state):
-        deg, alive, rank, next_rank = state
+        deg, alive, rank, next_rank, rnd = state
         return alive.any()
 
     def body(state):
-        deg, alive, rank, next_rank = state
+        deg, alive, rank, next_rank, rnd = state
         live_deg = jnp.where(alive, deg, big)
         n_alive = jnp.sum(alive, dtype=jnp.int64)
         if boundary == "avg":
             total = jnp.sum(jnp.where(alive, deg, 0), dtype=jnp.int64)
             bound = (1.0 + eps) * total.astype(jnp.float64) / n_alive
-        else:
+        elif boundary == "min":
             bound = (2.0 + eps) * jnp.min(live_deg).astype(jnp.float64)
+        else:
+            # sample `samples` degrees uniformly from the alive multiset:
+            # alive degrees compact to the front of the sort, so uniform
+            # positions in [0, n_alive) index a uniform sample
+            live_sorted = jnp.sort(live_deg)
+            k = jax.random.fold_in(key0, rnd)
+            take = jnp.clip(n_alive, 1, None)
+            idx = jax.random.randint(k, (samples,), 0, take)
+            vals = jnp.take(live_sorted, idx).astype(jnp.float64)
+            if boundary == "prob_min":
+                bound = (2.0 + eps) * jnp.min(vals)
+            else:
+                bound = (1.0 + eps) * jnp.median(vals)
         peel = alive & (deg.astype(jnp.float64) <= bound)
         # guard: always progress (host version's min-degree fallback)
         peel = jnp.where(peel.any(), peel, alive & (deg == jnp.min(live_deg)))
@@ -230,13 +247,13 @@ def adg_ordering_rank_device(
         npeel = jnp.take(peel, nbr, axis=0, mode="clip") & valid
         deg = deg - jnp.sum(npeel, axis=1, dtype=jnp.int64)
         alive = alive & ~peel
-        return deg, alive, rank, next_rank
+        return deg, alive, rank, next_rank, rnd + 1
 
     deg0 = pg.deg.astype(jnp.int64)
     alive0 = real
     rank0 = jnp.zeros(V, jnp.int32)
     out = jax.lax.while_loop(
-        cond, body, (deg0, alive0, rank0, jnp.int64(0)))[2]
+        cond, body, (deg0, alive0, rank0, jnp.int64(0), jnp.int32(0)))[2]
     return np.asarray(out)[:n]
 
 

@@ -117,3 +117,31 @@ def test_kernels_run_on_compressed():
     b = jnp.take(nbr, jnp.asarray(e[:, 1]), axis=0)
     total = int(jnp.sum(ops.intersect_count(a, b), dtype=jnp.int64))
     assert total // 3 == triangle_count_oracle(g)
+
+
+def test_rcm_and_barycenter_reduce_gaps():
+    """The non-ILP gap-minimizer family (permuters.h:25-44 CPLEX role):
+    every member must beat a random labeling on the coder objective."""
+    g = build_csr(generate_rmat_el(9, 6, seed=11), num_nodes=512)
+    g_rand = permuters.apply_permutation(g, "random", seed=5)
+    base = permuters.average_gap_bits(g_rand)
+    for variant in ("gap_bfs", "rcm", "gap_barycenter"):
+        after = permuters.average_gap_bits(
+            permuters.apply_permutation(g_rand, variant))
+        assert after < base, (variant, after, base)
+
+
+def test_permuters_are_bijections():
+    g = build_csr(random_graph(50, 0.2, 3), num_nodes=50)
+    for variant in permuters.VARIANTS:
+        p = permuters.permutation_map(g, variant, seed=1)
+        assert sorted(p.tolist()) == list(range(50)), variant
+
+
+def test_triangle_count_dense_bitmap():
+    from gms_tpu.algorithms.triangle_count import (triangle_count_dense,
+                                                   triangle_count_oracle)
+
+    for seed in range(3):
+        g = build_csr(random_graph(90, 0.25, seed), num_nodes=90)
+        assert triangle_count_dense(g, chunk=64) == triangle_count_oracle(g)

@@ -108,3 +108,74 @@ def test_bc_vs_bruteforce(graphs):
         want += delta
     got = gapbs.betweenness_centrality(g, normalize=False)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# representation-polymorphic kernels (role of the reference's Log(Graph)
+# kernel x representation benchmark matrix, log_graph/CMakeLists.txt:23-46)
+# ---------------------------------------------------------------------------
+
+def _reps(g):
+    from gms_tpu.graphs import compressed as cp
+
+    return {
+        "kbit": cp.KbitGraph.from_csr(g),
+        "hybrid": cp.HybridGraph.from_csr(g),
+        "bucketed": cp.KbitGraphBucketed.from_csr(g),
+    }
+
+
+def test_bfs_over_compressed_reps(graphs):
+    for g in graphs:
+        want = gapbs.bfs_oracle(g, 0)
+        for name, rep in _reps(g).items():
+            np.testing.assert_array_equal(gapbs.bfs(rep, 0), want, err_msg=name)
+        # pull-only path too
+        np.testing.assert_array_equal(
+            gapbs.bfs(g, 0, direction_optimizing=False), want)
+
+
+def test_bfs_kbit_from_packed(graphs):
+    """True compute-from-compressed BFS: per-level decode (kbit_bfs.cc role)."""
+    from gms_tpu.graphs import compressed as cp
+
+    for g in graphs:
+        kg = cp.KbitGraph.from_csr(g)
+        np.testing.assert_array_equal(gapbs.bfs_kbit(kg, 0),
+                                      gapbs.bfs_oracle(g, 0))
+
+
+def test_cc_pr_sssp_over_compressed(graphs):
+    g = graphs[0]
+    reps = _reps(g)
+    np.testing.assert_array_equal(
+        gapbs.connected_components(reps["kbit"]), gapbs.cc_oracle(g))
+    np.testing.assert_allclose(
+        gapbs.pagerank(reps["hybrid"], iters=10),
+        gapbs.pagerank_oracle(g, iters=10), rtol=1e-5)
+    np.testing.assert_array_equal(gapbs.sssp(reps["kbit"], 0),
+                                  gapbs.bfs_oracle(g, 0))
+
+
+def test_tc_over_compressed(graphs):
+    from gms_tpu.algorithms.triangle_count import (triangle_count,
+                                                   triangle_count_oracle)
+
+    for g in graphs[:2]:
+        want = triangle_count_oracle(g)
+        for name, rep in _reps(g).items():
+            assert triangle_count(rep) == want, name
+
+
+def test_bfs_direction_optimizing_high_diameter():
+    """A long path graph: pull-only pays O(V*D) per level; the d-opt path
+    must still return exact distances (the correctness half of the
+    kbit_bfs.cc BUStep/TDStep contract)."""
+    import numpy as np
+    from gms_tpu.io.builder import build_csr
+
+    n = 300
+    el = np.stack([np.arange(n - 1), np.arange(1, n)], axis=1)
+    g = build_csr(el, num_nodes=n)
+    want = gapbs.bfs_oracle(g, 0)
+    np.testing.assert_array_equal(gapbs.bfs(g, 0), want)

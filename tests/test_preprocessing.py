@@ -126,3 +126,24 @@ def test_triangle_count_ordering_and_verifiers():
     # a random order should fail the exact-degeneracy check on most graphs
     bad = np.random.default_rng(0).permutation(50).astype(np.int32)
     assert not degeneracy.verify_degeneracy_order(g, bad) or True  # smoke
+
+
+def test_adg_device_prob_boundaries():
+    """Sampled-boundary device ADG (boundary_function.h prob variants):
+    valid permutation, within the ADG approximation bound, deterministic
+    for a fixed seed."""
+    import numpy as np
+    from gms_tpu.io.builder import build_csr
+    from gms_tpu.preprocessing import degeneracy
+    from conftest import random_graph
+
+    for seed in range(2):
+        g = build_csr(random_graph(70, 0.15, seed), num_nodes=70)
+        for boundary in ("prob_min", "prob_median"):
+            r1 = degeneracy.adg_ordering_rank_device(g, 0.1, boundary=boundary,
+                                                     seed=3)
+            r2 = degeneracy.adg_ordering_rank_device(g, 0.1, boundary=boundary,
+                                                     seed=3)
+            np.testing.assert_array_equal(r1, r2)
+            assert sorted(r1.tolist()) == list(range(70))
+            assert degeneracy.verify_approx_degeneracy_order(g, r1, 0.1)
