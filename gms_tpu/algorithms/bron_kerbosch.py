@@ -154,6 +154,64 @@ def bk_level(R, Cand, Fini, root_idx, adj, *, cap: int, emit: bool):
     return n_maximal, out_roots, out_R, R_out, C_out, F_out, root_out, n_children
 
 
+@functools.partial(jax.jit, static_argnames=("w_words", "cap"))
+def bk_count_chunk(nbr, rank_pad, chunk, root_live, *, w_words: int, cap: int):
+    """Count maximal cliques of one root chunk in ONE device dispatch.
+
+    Replaces the per-level host readbacks (`int(total_popcount(Cand))`,
+    `int(n_child)`) that serialized `bron_kerbosch`: the whole breadth-wise
+    Tomita expansion runs to completion inside a `lax.while_loop` over a
+    fixed item buffer of `cap` slots. If a level's child upper bound
+    (Σ popcount(Cand) over live items — children are subsets of Cand bits)
+    would exceed `cap`, the kernel stops and reports overflow; the host
+    retries the chunk with doubled cap. Capacity is compiled shape, so
+    overflow is a recompile, never a wrong answer — the same discipline as
+    `parallel/multi.py:_sharded_kclique_step`.
+
+    Because the result is a single (count, overflow) pair fetched lazily,
+    chunks dispatched to different devices overlap (the async fan-out the
+    reference gets from `omp for schedule(dynamic)`, eppsteinPAR.h:31).
+    """
+    WW = w_words
+    C = chunk.shape[0]
+    adj, _S0 = build_local_adj(nbr, chunk, w_words=w_words)
+    Cand0, Fini0 = init_items(nbr, rank_pad, chunk, w_words=w_words)
+    pad = cap - C
+    Cand = jnp.concatenate([Cand0, jnp.zeros((pad, WW), jnp.uint32)])
+    Fini = jnp.concatenate([Fini0, jnp.zeros((pad, WW), jnp.uint32)])
+    R = jnp.zeros((cap, WW), jnp.uint32)
+    root_idx = jnp.concatenate([
+        jnp.where(root_live, jnp.arange(C, dtype=jnp.int32), -1),
+        jnp.full((pad,), -1, jnp.int32),
+    ])
+
+    def cond(st):
+        _R, _C, _F, root_idx, _total, overflow = st
+        return jnp.any(root_idx >= 0) & ~overflow
+
+    def body(st):
+        R, Cand, Fini, root_idx, total, overflow = st
+        live = root_idx >= 0
+        ub = jnp.sum(
+            jnp.where(live[:, None], jax.lax.population_count(Cand), 0),
+            dtype=jnp.int64,
+        )
+        ovf = ub > cap
+        n_max, _, _, R2, C2, F2, ri2, _nc = bk_level(
+            R, Cand, Fini, root_idx, adj, cap=cap, emit=False
+        )
+        # on overflow the level's children may have been dropped — freeze
+        # the count and exit via cond; the host retry discards this total
+        return (R2, C2, F2, ri2,
+                jnp.where(ovf, total, total + n_max), overflow | ovf)
+
+    _, _, _, _, total, overflow = jax.lax.while_loop(
+        cond, body,
+        (R, Cand, Fini, root_idx, jnp.int64(0), jnp.bool_(False)),
+    )
+    return total, overflow
+
+
 @functools.partial(jax.jit, static_argnames=("w_words",))
 def init_items(nbr, rank_pad, roots, *, w_words: int):
     """Initial (R, cand, fini) per root: cand = higher-ranked neighbors,
@@ -178,6 +236,81 @@ def init_items(nbr, rank_pad, roots, *, w_words: int):
         axis=2, dtype=jnp.uint32,
     )
     return pack(higher), pack(lower)
+
+
+def _plan_root_chunks(deg_all, roots_all, root_chunk: int, pad_id):
+    """Degree-tiered root chunks: yields (chunk int32[cmax] padded with
+    pad_id, w_words). The local universe is N(root), so the bitset width W
+    must cover the chunk's max degree; sorting roots by degree keeps W (and
+    the [C, W, W/32] adjacency) small for the bulk of the graph — the TPU
+    form of the reference's per-root subgraph sizing
+    (EppsteinSubGraphAdaptive.h boundary switch)."""
+    order = np.argsort(deg_all[roots_all], kind="stable")
+    roots_sorted = roots_all[order]
+    mem_budget_words = 1 << 26  # ~256MB of adjacency per chunk
+    start = 0
+    while start < len(roots_sorted):
+        d0 = int(deg_all[roots_sorted[start]])
+        W = max(32, 1 << int(np.ceil(np.log2(max(d0, 1)))))
+        WW = W // 32
+        cmax = max(16, min(root_chunk, _bucket(
+            max(mem_budget_words // (W * WW), 16)) // 2))
+        stop = start
+        while stop < len(roots_sorted) and stop - start < cmax and \
+                deg_all[roots_sorted[stop]] <= W:
+            stop += 1
+        chunk = roots_sorted[start:stop]
+        start = stop
+        if len(chunk) < cmax:
+            chunk = np.concatenate(
+                [chunk, np.full(cmax - len(chunk), pad_id, dtype=np.int32)])
+        yield chunk, WW
+
+
+def bk_count_async(nbr, rank_pad, chunks, devices=None, *,
+                   start_cap: int | None = None) -> int:
+    """Dispatch `bk_count_chunk` for every (chunk, WW) job, round-robin over
+    devices, fetching results ONCE after all dispatches (jax async dispatch
+    overlaps the devices); overflowed chunks retry with doubled cap."""
+    devices = list(devices) if devices is not None else [None]
+    placed = {}  # device index -> (nbr, rank_pad) on that device
+
+    def tables(di):
+        if di not in placed:
+            d = devices[di]
+            if d is None:
+                placed[di] = (nbr, rank_pad)
+            else:
+                placed[di] = (jax.device_put(nbr, d),
+                              jax.device_put(rank_pad, d))
+        return placed[di]
+
+    def dispatch(di, chunk, WW, cap):
+        nbr_d, rank_d = tables(di)
+        d = devices[di]
+        ch = jnp.asarray(chunk) if d is None else jax.device_put(
+            jnp.asarray(chunk), d)
+        live = ch != jnp.int32(nbr.shape[0])  # pad slots hold pad_id == v_pad
+        return bk_count_chunk(nbr_d, rank_d, ch, live, w_words=WW, cap=cap)
+
+    pending = []
+    for i, (chunk, WW) in enumerate(chunks):
+        cap = start_cap or _bucket(max(2 * len(chunk), 512))
+        di = i % len(devices)
+        pending.append((di, chunk, WW, cap,
+                        dispatch(di, chunk, WW, cap)))
+    total = 0
+    while pending:
+        nxt = []
+        for di, chunk, WW, cap, (t, ovf) in pending:
+            if bool(ovf):
+                cap *= 2
+                nxt.append((di, chunk, WW, cap,
+                            dispatch(di, chunk, WW, cap)))
+            else:
+                total += int(t)
+        pending = nxt
+    return total
 
 
 def bron_kerbosch(
@@ -227,34 +360,17 @@ def bron_kerbosch(
     pad_id = np.int32(pg.v_pad)
     roots_all = (np.arange(n, dtype=np.int32) if roots is None
                  else np.asarray(roots, dtype=np.int32))
-    # degree-tiered root chunks: the local universe is N(root), so the
-    # bitset width W must cover the chunk's max degree; sorting roots by
-    # degree keeps W (and the [C, W, W/32] adjacency) small for the bulk of
-    # the graph — the TPU form of the reference's per-root subgraph sizing
-    # (EppsteinSubGraphAdaptive.h boundary switch).
     deg_all = g.degrees
-    order = np.argsort(deg_all[roots_all], kind="stable")
-    roots_sorted = roots_all[order]
-    mem_budget_words = 1 << 26  # ~256MB of adjacency per chunk
-    start = 0
-    while start < len(roots_sorted):
-        d0 = int(deg_all[roots_sorted[start]])
-        W = max(32, 1 << int(np.ceil(np.log2(max(d0, 1)))))
-        WW = W // 32
-        cmax = max(16, min(root_chunk, _bucket(
-            max(mem_budget_words // (W * WW), 16)) // 2))
-        # extend chunk while degrees still fit in W
-        stop = start
-        while stop < len(roots_sorted) and stop - start < cmax and \
-                deg_all[roots_sorted[stop]] <= W:
-            stop += 1
-        chunk = roots_sorted[start:stop]
-        start = stop
-        C = len(chunk)
-        if C < cmax:
-            chunk = np.concatenate(
-                [chunk, np.full(cmax - C, pad_id, dtype=np.int32)]
-            )
+
+    if not collect:
+        # count mode: one device dispatch per chunk (bk_count_chunk), all
+        # chunks enqueued before any result is fetched
+        return bk_count_async(
+            nbr, rank_pad,
+            _plan_root_chunks(deg_all, roots_all, root_chunk, pad_id))
+
+    for chunk, WW in _plan_root_chunks(deg_all, roots_all, root_chunk, pad_id):
+        cmax = len(chunk)
         adj, _S0 = build_local_adj(nbr, jnp.asarray(chunk), w_words=WW)
         Cand, Fini = init_items(nbr, rank_pad, jnp.asarray(chunk), w_words=WW)
         R = jnp.zeros((cmax, WW), jnp.uint32)

@@ -124,36 +124,45 @@ def count_dag_edges(nbr, edges, valid, *, chunk: int = DEFAULT_CHUNK,
     return total
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "num_segments", "method"))
+@functools.partial(jax.jit, static_argnames=(
+    "chunk", "num_segments", "method", "width_a", "width_b"))
 def count_dag_edges_per_vertex(
-    nbr, edges, valid, *, chunk: int = DEFAULT_CHUNK, num_segments: int, method: str = "compare"
+    nbr, edges, valid, *, chunk: int = DEFAULT_CHUNK, num_segments: int,
+    method: str = "compare",
+    width_a: int | None = None, width_b: int | None = None,
 ):
-    """Per-vertex triangle participation counts — int32[num_segments].
+    """Per-vertex triangle participation counts — int64[num_segments].
 
     Each triangle (u,v,w) found on DAG edge (u,v) with witness w increments
     the counts of u, v, and w (reference parallel/vertex.h semantics with
-    each triangle counted once per corner).
+    each triangle counted once per corner). int64 accumulation (a hub corner
+    can exceed int32 on large skewed graphs); width_a/width_b are the same
+    static tier-slice contract as count_dag_edges.
     """
+    wa = min(width_a or nbr.shape[1], nbr.shape[1])
+    wb = min(width_b or nbr.shape[1], nbr.shape[1])
+    nbr_a = jax.lax.slice_in_dim(nbr, 0, wa, axis=1)
+    nbr_b = jax.lax.slice_in_dim(nbr, 0, wb, axis=1) if wb != wa else nbr_a
     ec = edges.reshape(-1, chunk, 2)
     vc = valid.reshape(-1, chunk)
 
     def body(acc, xs):
         e, v = xs
-        a = jnp.take(nbr, e[:, 0], axis=0)
-        b = jnp.take(nbr, e[:, 1], axis=0)
-        m = ops.member(a, b, method=method) & (v[:, None] > 0)  # [chunk, D]
+        a = jnp.take(nbr_a, e[:, 0], axis=0)
+        b = jnp.take(nbr_b, e[:, 1], axis=0)
+        m = ops.member(a, b, method=method) & (v[:, None] > 0)  # [chunk, wa]
         cnt = jnp.sum(m, axis=1, dtype=jnp.int32)
         # endpoints u and v each get the edge's triangle count
-        acc = acc.at[e[:, 0]].add(cnt * v)
-        acc = acc.at[e[:, 1]].add(cnt * v)
+        acc = acc.at[e[:, 0]].add((cnt * v).astype(jnp.int64))
+        acc = acc.at[e[:, 1]].add((cnt * v).astype(jnp.int64))
         # witnesses w get +1 where they appear in the intersection
         w_ids = jnp.where(m, a, num_segments)  # invalid -> overflow bucket
         acc = acc.at[w_ids.reshape(-1)].add(
-            m.reshape(-1).astype(jnp.int32), mode="drop"
+            m.reshape(-1).astype(jnp.int64), mode="drop"
         )
         return acc, None
 
-    acc0 = jnp.zeros(num_segments, dtype=jnp.int32)
+    acc0 = jnp.zeros(num_segments, dtype=jnp.int64)
     out, _ = jax.lax.scan(body, acc0, (ec, vc))
     return out
 
@@ -574,20 +583,34 @@ def triangle_count(
 
 
 def triangle_count_per_vertex(
-    g: CSRGraph, *, rank: np.ndarray | None = None, chunk: int = DEFAULT_CHUNK,
-    method: str = "compare",
+    g: CSRGraph, *, rank: np.ndarray | None = None, chunk: int | None = None,
+    method: str = "compare", tiers=DEFAULT_TIERS,
 ) -> np.ndarray:
-    """Per-vertex triangle counts (each triangle counted at all 3 corners)."""
+    """Per-vertex triangle counts (each triangle counted at all 3 corners).
+
+    Edges run through the same 2-D degree-tier partition as the total count
+    (the |A∩B| membership test and the witness ids are symmetric in the
+    endpoint swap), so skewed graphs avoid full-width padding work."""
     if rank is None:
         rank = orient.degree_rank(g)
     dag = orient.orient(g, rank)
     pg = PaddedGraph.from_csr(dag)
-    edges, valid = _pad_edges(dag.edge_array(), chunk)
-    out = count_dag_edges_per_vertex(
-        pg.nbr, jnp.asarray(edges), jnp.asarray(valid),
-        chunk=chunk, num_segments=pg.v_pad, method=method,
-    )
-    return np.asarray(out)[: g.num_nodes]
+    outdeg = np.asarray(dag.degrees)
+    widths = _tier_widths(pg.d_pad, tiers)
+    parts = partition_edges_2d(dag.edge_array(), outdeg, widths)
+    acc = np.zeros(pg.v_pad, dtype=np.int64)
+    pending = []
+    for (wa, wb), part in parts.items():
+        c = chunk or tier_chunk_2d(wa, wb)
+        edges, valid = _pad_edges(part, c)
+        pending.append(count_dag_edges_per_vertex(
+            pg.nbr, jnp.asarray(edges), jnp.asarray(valid),
+            chunk=c, num_segments=pg.v_pad, method=method,
+            width_a=wa, width_b=wb,
+        ))
+    for h in pending:
+        acc += np.asarray(h)
+    return acc[: g.num_nodes]
 
 
 def triangle_count_dense(g: CSRGraph, *, chunk: int = 1024) -> int:

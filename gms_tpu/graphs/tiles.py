@@ -54,7 +54,11 @@ class PaddedGraph:
         deg = g.degrees.astype(np.int32)
         dmax = int(deg.max(initial=0))
         D = round_up(max(d_pad or 0, dmax, 1), lane)
-        V = round_up(max(v_pad or 0, n, 1), sublane)
+        # always reserve >= 1 all-SENTINEL row beyond the real vertices:
+        # algorithms pad work arrays with vertex id v_pad and rely on
+        # mode="clip" gathers landing on an empty row (k_clique.py,
+        # bron_kerbosch.py) — with V == n the clip would hit vertex n-1
+        V = round_up(max(v_pad or 0, n + 1, 1), sublane)
         nbr = np.full((V, D), SENTINEL, dtype=np.int32)
         # bulk scatter: position of each CSR entry within its row
         if g.num_edges:

@@ -132,7 +132,11 @@ def sharded_bron_kerbosch_count(
     BK's level structure diverges per chunk (data-dependent recursion
     depth), so chunks are independent device-parallel jobs rather than one
     shard_map program — the reference's dynamic OpenMP schedule
-    (eppsteinPAR.h:31), lifted to devices.
+    (eppsteinPAR.h:31), lifted to devices. Each chunk is ONE device
+    dispatch (bk_count_chunk runs the whole expansion in a lax.while_loop),
+    all chunks are enqueued round-robin before any result is fetched, so
+    the devices genuinely overlap; overflowed chunks retry with doubled
+    item capacity.
     """
     from gms_tpu.algorithms import bron_kerbosch as bk
 
@@ -140,15 +144,25 @@ def sharded_bron_kerbosch_count(
     n = g.num_nodes
     if n == 0:
         return 0
-    total = 0
-    starts = list(range(0, n, root_chunk))
-    for i, s in enumerate(starts):
-        dev = devices[i % len(devices)]
-        with jax.default_device(dev):
-            total += bk.bron_kerbosch(
-                g, ordering=ordering, root_chunk=root_chunk,
-                roots=np.arange(s, min(s + root_chunk, n), dtype=np.int32))
-    return total
+    if ordering == "degeneracy":
+        rank, _ = degeneracy.degeneracy_ordering_rank(g)
+    elif ordering == "adg":
+        rank = degeneracy.adg_ordering_rank(g)
+    elif ordering == "degree":
+        rank = degeneracy.degree_ordering_rank(g)
+    elif ordering == "id":
+        rank = np.arange(n, dtype=np.int32)
+    else:
+        raise ValueError(f"unknown ordering {ordering!r}")
+
+    pg = PaddedGraph.from_csr(g, lane=32)
+    rank_pad = np.full(pg.v_pad + 1, np.int32(np.iinfo(np.int32).max))
+    rank_pad[:n] = rank
+    chunks = bk._plan_root_chunks(
+        np.asarray(g.degrees), np.arange(n, dtype=np.int32), root_chunk,
+        np.int32(pg.v_pad))
+    return bk.bk_count_async(
+        np.asarray(pg.nbr), jnp.asarray(rank_pad), chunks, devices)
 
 
 def sharded_pair_scores(mesh: Mesh, *, metric: str):

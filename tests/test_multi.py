@@ -65,3 +65,28 @@ def test_bk_roots_param_partition():
     a = bk.bron_kerbosch(g, roots=np.arange(0, 15))
     b = bk.bron_kerbosch(g, roots=np.arange(15, 30))
     assert a + b == want
+
+
+def test_bk_count_exact_on_aligned_n():
+    """Regression: with n a multiple of the sublane pad (v_pad == n before
+    the +1 fix), padded root slots clip-gathered a REAL vertex row and
+    k_clique/BK silently overcounted. PaddedGraph now reserves an
+    all-SENTINEL row past the last vertex."""
+    from gms_tpu.algorithms.k_clique import kclique_count, kclique_count_oracle
+    from gms_tpu.graphs.tiles import PaddedGraph
+
+    for n, p, seed in [(64, 0.3, 1), (128, 0.2, 3)]:
+        g = build_csr(random_graph(n, p, seed), num_nodes=n)
+        pg = PaddedGraph.from_csr(g)
+        assert pg.v_pad > g.num_nodes
+        assert kclique_count(g, 4) == kclique_count_oracle(g, 4)
+        assert bk.bron_kerbosch(g) == len(bk.bron_kerbosch_simple(g))
+
+
+def test_bk_single_dispatch_matches_levelwise_collect():
+    """Count mode (bk_count_chunk while_loop, one dispatch per chunk) and
+    collect mode (per-level host loop) agree."""
+    g = build_csr(random_graph(80, 0.25, 9), num_nodes=80)
+    n_count = bk.bron_kerbosch(g, collect=False)
+    n_collect, cliques = bk.bron_kerbosch(g, collect=True)
+    assert n_count == n_collect == len(set(cliques))
