@@ -59,8 +59,11 @@ def test_kbit_bucketed_roundtrip(graphs):
         kb = cp.KbitGraphBucketed.from_csr(g)
         got = kb.decode_all()
         want = padded_rows(g)
-        np.testing.assert_array_equal(got[: want.shape[0], : want.shape[1]],
-                                      want)
+        # compare the real rows only: PaddedGraph reserves >=1 extra
+        # all-SENTINEL row, the bucketed form need not
+        n = g.num_nodes
+        np.testing.assert_array_equal(got[:n, : want.shape[1]], want[:n])
+        assert (want[n:] == SENTINEL).all()
 
 
 def test_varint_roundtrip(graphs):
