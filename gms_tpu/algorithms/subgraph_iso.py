@@ -67,11 +67,13 @@ def _search_order(pattern: CSRGraph):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("d", "parents", "nonparents", "pdeg_d", "induced")
+    jax.jit, static_argnames=("d", "parents", "nonparents", "induced")
 )
-def _feasible(M, cand, nbr, deg1, *, d: int, parents: tuple, nonparents: tuple,
-              pdeg_d: int, induced: bool):
-    """bool[N, Dc]: candidate c extends mapping M at position d."""
+def _feasible(M, cand, nbr, deg1, pdeg_d, *, d: int, parents: tuple,
+              nonparents: tuple, induced: bool):
+    """bool[N, Dc]: candidate c extends mapping M at position d.
+
+    pdeg_d is a TRACED scalar (one compile per level, not per degree value)."""
     ok = cand != SENTINEL
     ok &= M[:, 0][:, None] >= 0  # dead (padding) rows emit nothing
     ok &= jnp.take(deg1, cand, mode="clip") >= pdeg_d
@@ -121,12 +123,20 @@ def subgraph_isomorphism(
     induced: bool = False,
     limit: int | None = 1,
     root_chunk: int = 4096,
+    item_budget: int = 1 << 18,
 ) -> np.ndarray:
     """Find mappings of `pattern` into `g`.
 
     Returns int32[k, P]: row r maps pattern vertex j -> result[r, j].
     limit=1 reproduces the reference's find-first semantics
     (vf2.hpp:53-83); limit=None enumerates all (a superset capability).
+
+    Memory is bounded: the frontier of partial mappings is processed as a
+    LIFO stack of slices (the k_clique work-stack discipline, replacing the
+    reference's per-task state copies in vf2/parallel/vf2.hpp:40-106) —
+    any level's expansion buffer holds at most ~item_budget children, and
+    depth-first slice order makes limit=1 stop early without expanding the
+    whole breadth frontier.
     """
     P = pattern.num_nodes
     if P == 0 or g.num_nodes < P:
@@ -136,50 +146,59 @@ def subgraph_isomorphism(
     pg = PaddedGraph.from_csr(g)
     deg1 = jnp.concatenate([pg.deg, jnp.zeros(1, jnp.int32)])
     nbr = pg.nbr
+    col_order = np.asarray(order)
 
     roots = np.nonzero(g.degrees >= pdeg[0])[0].astype(np.int32)
     found: list[np.ndarray] = []
     total = 0
-    for start in range(0, len(roots), root_chunk):
+    # LIFO stack of (partial-mapping slice, next level d); push root chunks
+    # reversed so low root ids expand first (deterministic find-first order)
+    stack: list[tuple] = []
+    for start in reversed(range(0, len(roots), root_chunk)):
         chunk = roots[start : start + root_chunk]
-        M = jnp.full((len(chunk), P), -1, jnp.int32).at[:, 0].set(jnp.asarray(chunk))
-        dead = False
-        for d in range(1, P):
-            if parents[d]:
-                cand = jnp.take(nbr, M[:, parents[d][0]], axis=0, mode="clip")
-                M = _level(M, cand, nbr, deg1, d, parents[d], nonparents[d],
-                           int(pdeg[d]), induced)
-            else:
-                # disconnected pattern: candidates = all vertices, blockwise
-                pieces = []
-                V = g.num_nodes
-                blk = max(256, nbr.shape[1])
-                for b0 in range(0, V, blk):
-                    ids = np.arange(b0, min(b0 + blk, V), dtype=np.int32)
-                    ids_pad = np.full(blk, np.int32(SENTINEL))
-                    ids_pad[: len(ids)] = ids
-                    cand = jnp.broadcast_to(jnp.asarray(ids_pad), (M.shape[0], blk))
-                    out = _level(M, cand, nbr, deg1, d, parents[d],
-                                 nonparents[d], int(pdeg[d]), induced)
-                    if out.shape[0]:
-                        pieces.append(out)
-                M = (jnp.concatenate(pieces, axis=0) if pieces
-                     else jnp.zeros((0, P), jnp.int32))
-            if M.shape[0] == 0:
-                dead = True
-                break
-        if dead:
+        M0 = (jnp.full((len(chunk), P), -1, jnp.int32)
+              .at[:, 0].set(jnp.asarray(chunk)))
+        stack.append((M0, 1))
+
+    while stack:
+        M, d = stack.pop()
+        if d == P:
+            full = np.asarray(M)
+            full = full[(full >= 0).all(axis=1)]
+            if len(full):
+                out = np.empty_like(full)
+                out[:, col_order] = full  # positions -> pattern-vertex cols
+                found.append(out)
+                total += len(full)
+                if limit is not None and total >= limit:
+                    break
             continue
-        full = np.asarray(M)
-        full = full[(full >= 0).all(axis=1)]
-        if len(full):
-            # positions -> pattern-vertex columns
-            out = np.empty_like(full)
-            out[:, np.asarray(order)] = full
-            found.append(out)
-            total += len(full)
-            if limit is not None and total >= limit:
-                break
+        # slice the input so this level's emit buffer stays <= ~item_budget
+        Dc = nbr.shape[1] if parents[d] else max(256, nbr.shape[1])
+        rows_max = _bucket(max(1, item_budget // max(Dc, 1)))
+        if M.shape[0] > rows_max:
+            for s0 in reversed(range(0, M.shape[0], rows_max)):
+                stack.append((M[s0 : s0 + rows_max], d))
+            continue
+        if parents[d]:
+            cand = jnp.take(nbr, M[:, parents[d][0]], axis=0, mode="clip")
+            out = _level(M, cand, nbr, deg1, d, parents[d], nonparents[d],
+                         int(pdeg[d]), induced)
+            if out.shape[0]:
+                stack.append((out, d + 1))
+        else:
+            # disconnected pattern: candidates = all vertices, blockwise
+            V = g.num_nodes
+            blk = max(256, nbr.shape[1])
+            for b0 in reversed(range(0, V, blk)):
+                ids = np.arange(b0, min(b0 + blk, V), dtype=np.int32)
+                ids_pad = np.full(blk, np.int32(SENTINEL))
+                ids_pad[: len(ids)] = ids
+                cand = jnp.broadcast_to(jnp.asarray(ids_pad), (M.shape[0], blk))
+                out = _level(M, cand, nbr, deg1, d, parents[d],
+                             nonparents[d], int(pdeg[d]), induced)
+                if out.shape[0]:
+                    stack.append((out, d + 1))
     if not found:
         return np.zeros((0, P), np.int32)
     res = np.concatenate(found, axis=0)
@@ -187,8 +206,8 @@ def subgraph_isomorphism(
 
 
 def _level(M, cand, nbr, deg1, d, parents, nonparents, pdeg_d, induced):
-    ok = _feasible(M, cand, nbr, deg1, d=d, parents=parents,
-                   nonparents=nonparents, pdeg_d=pdeg_d, induced=induced)
+    ok = _feasible(M, cand, nbr, deg1, jnp.int32(pdeg_d), d=d, parents=parents,
+                   nonparents=nonparents, induced=induced)
     nc = int(jnp.sum(ok, dtype=jnp.int64))
     if nc == 0:
         return jnp.zeros((0, M.shape[1]), jnp.int32)

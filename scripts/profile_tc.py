@@ -1,11 +1,16 @@
-"""Per-tier roofline profile of the flagship TrianglePlan on the real chip.
+"""Per-kernel breakdown of the TrianglePlan on the real chip.
 
-For each tier kernel: wall time (best of N), bytes moved (gather traffic
-model), achieved GB/s. Steers VERDICT item 1 (close the ~50 GB/s -> HBM-peak
-gap)."""
+Times every tier/hub kernel of the plan separately (steady protocol: all
+reps inside one jitted lax.scan, one D2H), plus two calibration ceilings:
+  * stream: chained xor-sum over a resident 256MB array
+  * gather: random row-gather GB/s at several row widths
+
+Usage: python scripts/profile_tc.py [scale] [degree]
+"""
 
 from __future__ import annotations
 
+import functools
 import os
 import sys
 import time
@@ -13,74 +18,98 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+import jax
+import jax.numpy as jnp
 
-SCALE = int(os.environ.get("BENCH_SCALE", "18"))
-DEGREE = int(os.environ.get("BENCH_DEGREE", "16"))
-TRIALS = int(os.environ.get("BENCH_TRIALS", "5"))
-SEED = 27491095
+from gms_tpu.algorithms import triangle_count as tc
+from gms_tpu.io.builder import build_csr
+from gms_tpu.io.generators import generate_rmat_el
 
 
-def timed(fn, *args, trials=TRIALS, **kw):
-    out = fn(*args, **kw)
-    if hasattr(out, "block_until_ready"):
-        out.block_until_ready()
-    best = float("inf")
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        r = fn(*args, **kw)
-        if hasattr(r, "block_until_ready"):
-            r.block_until_ready()
-        best = min(best, time.perf_counter() - t0)
-    return out, best
+def steady(fn, args, reps=32):
+    """Seconds/rep: reps chained executions in ONE program, one D2H.
+
+    NOTE this chip has a ~20ms fixed cost per executable execution; at the
+    default reps it adds ~0.7ms/rep to every figure below."""
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def scan(args, salt0, *, reps):
+        def step(salt, _):
+            out = fn(*args, salt)
+            return (out % jnp.int64(1009)).astype(jnp.int32) + salt + 1, out
+
+        _, outs = jax.lax.scan(step, salt0, None, length=reps)
+        return outs
+
+    np.asarray(scan(args, jnp.int32(3), reps=reps))  # compile+warm
+    t0 = time.perf_counter()
+    np.asarray(scan(args, jnp.int32(11), reps=reps))
+    return (time.perf_counter() - t0) / reps
+
+
+def stream_gbps():
+    x = jnp.asarray(np.random.default_rng(1).integers(
+        0, 2**31, (64 * 1024 * 1024,), dtype=np.int32))
+
+    def f(x, salt):
+        return jnp.sum(x ^ salt, dtype=jnp.int64)
+
+    dt = steady(f, (x,))
+    return x.size * 4 / dt / 1e9
+
+
+def gather_gbps(n_rows, width, n_idx):
+    rows = jnp.asarray(np.random.default_rng(2).integers(
+        0, 2**31, (n_rows, width), dtype=np.int32))
+    idx = jnp.asarray(np.random.default_rng(3).integers(
+        0, n_rows, (n_idx,), dtype=np.int32))
+
+    def f(rows, idx, salt):
+        g = jnp.take(rows, (idx + salt) % n_rows, axis=0)
+        return jnp.sum(g, dtype=jnp.int64)
+
+    dt = steady(f, (rows, idx))
+    return n_idx * width * 4 / dt / 1e9
 
 
 def main():
-    from gms_tpu.algorithms.triangle_count import (
-        TrianglePlan, count_dag_edges, count_hub_edges)
-    from gms_tpu.io.builder import build_csr
-    from gms_tpu.io.generators import generate_rmat_el
-
-    g = build_csr(generate_rmat_el(SCALE, DEGREE, seed=SEED),
-                  num_nodes=1 << SCALE)
-    t0 = time.perf_counter()
-    plan = TrianglePlan(g)
-    print(f"plan build: {time.perf_counter()-t0:.2f}s")
-    print(f"graph: V={g.num_nodes} E_undir={g.num_edges_undirected} "
-          f"d_pad={plan.padded.d_pad}")
+    scale = int(sys.argv[1]) if len(sys.argv) > 1 else 18
+    degree = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    g = build_csr(generate_rmat_el(scale, degree, seed=27491095),
+                  num_nodes=1 << scale)
+    plan = tc.TrianglePlan(g)
+    print(f"platform={jax.devices()[0].platform} scale={scale} deg={degree}")
 
     total_t = 0.0
-    total_bytes = 0
     for wa, wb, c, edges, valid in plan.tiers:
-        n_e = int(np.asarray(valid).sum())
-        _, t = timed(count_dag_edges, plan.padded.nbr, edges, valid,
-                     chunk=c, method=plan.method, width_a=wa, width_b=wb)
-        nbytes = len(valid) * (wa + wb) * 4  # row gathers (padded count)
-        total_t += t
-        total_bytes += nbytes
-        print(f"  cmp tier ({wa:4d},{wb:4d}) chunk={c:6d} edges={n_e:8d} "
-              f"pad={len(valid):8d} t={t*1e3:8.2f}ms "
-              f"{nbytes/t/1e9:7.1f} GB/s model")
-    if plan.hub:
-        hw = plan.hub_rows.shape[1]
-        nw = plan.hub_rows.shape[0]
-        print(f"  hub rows: [{nw}, {hw}] words "
-              f"({nw*hw*4/1e6:.1f} MB)")
-        for w, wc, edges, valid in plan.hub:
-            n_e = int(np.asarray(valid).sum())
-            _, t = timed(count_hub_edges, plan.hub_rows, None, edges, valid,
-                         chunk=wc, width=w)
-            nbytes = len(valid) * 2 * w * 4
-            total_t += t
-            total_bytes += nbytes
-            print(f"  hub tier w={w:4d} chunk={wc:6d} edges={n_e:8d} "
-                  f"pad={len(valid):8d} t={t*1e3:8.2f}ms "
-                  f"{nbytes/t/1e9:7.1f} GB/s model")
+        def f(nbr, e, v, salt, *, wa=wa, wb=wb, c=c):
+            return tc.count_dag_edges(nbr, jnp.roll(e, salt, axis=0),
+                                      jnp.roll(v, salt, axis=0), chunk=c,
+                                      width_a=wa, width_b=wb)
 
-    _, t_fused = timed(lambda: plan._fused())
-    print(f"sum of tiers: {total_t*1e3:.2f}ms  model bytes={total_bytes/1e9:.3f} GB"
-          f"  -> {total_bytes/total_t/1e9:.1f} GB/s")
-    print(f"fused: {t_fused*1e3:.2f}ms -> "
-          f"{g.num_edges_undirected/t_fused/1e6:.1f}M edges/s")
+        dt = steady(f, (plan.padded.nbr, edges, valid))
+        total_t += dt
+        gb = len(valid) * (wa + wb) * 4 / 1e9
+        print(f"tier ({wa:4d},{wb:4d}) edges={len(valid):8d} chunk={c:6d} "
+              f"t={dt*1e3:7.2f}ms traffic={gb:6.3f}GB -> {gb/dt:6.1f}GB/s")
+
+    for w, k, gc, b_ids, nbrs in (plan.hub or []):
+        def f(rows, b, n, salt, *, w=w, k=k, gc=gc):
+            return tc.count_hub_groups(rows, jnp.roll(b, salt, axis=0),
+                                       jnp.roll(n, salt, axis=0),
+                                       chunk=gc, width=w, k=k)
+
+        dt = steady(f, (plan.hub_rows, b_ids, nbrs))
+        total_t += dt
+        gb = (len(b_ids) + nbrs.size) * w * 4 / 1e9
+        print(f"hub  (w={w:4d},k={k:3d}) groups={len(b_ids):8d} chunk={gc:6d} "
+              f"t={dt*1e3:7.2f}ms traffic={gb:6.3f}GB -> {gb/dt:6.1f}GB/s")
+
+    print(f"sum of parts: {total_t*1e3:.2f}ms")
+    print(f"stream: {stream_gbps():.0f} GB/s")
+    nw = plan.hub_rows.shape[0] if plan.hub else 1 << 15
+    for w in (32, 128, 512):
+        print(f"gather rows[{nw},{w}] x 1M: {gather_gbps(nw, w, 1 << 20):.0f} GB/s")
 
 
 if __name__ == "__main__":

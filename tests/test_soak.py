@@ -1,0 +1,113 @@
+"""Large-graph correctness soak (testing/README.md:13-31 rigor role).
+
+Every other test runs n <= 256 graphs; this suite runs RMAT scale 11-13
+through the tuned device paths and cross-checks them against each other
+and against independent host recounts — the scale band where capacity,
+hub-prefix, tier-boundary, and overflow-retry bugs live.
+
+Marked `slow`; deselect with `-m "not slow"`.
+"""
+
+import numpy as np
+import pytest
+
+from gms_tpu.algorithms.triangle_count import TrianglePlan, triangle_count
+from gms_tpu.io.builder import build_csr
+from gms_tpu.io.generators import generate_rmat_el
+
+slow = pytest.mark.slow
+
+
+def rmat(scale, deg, seed=27491095):
+    return build_csr(generate_rmat_el(scale, deg, seed=seed),
+                     num_nodes=1 << scale)
+
+
+def tc_matmul_oracle(g) -> int:
+    """Independent host recount: tri = sum(A*A @ A)/6 via torch CPU matmul
+    (exact: every partial value < 2^24 fits float32; final sum in float64)."""
+    import torch
+
+    n = g.num_nodes
+    A = torch.zeros((n, n), dtype=torch.float32)
+    src = np.repeat(np.arange(n), np.asarray(g.degrees, dtype=np.int64))
+    A[src, np.asarray(g.indices, dtype=np.int64)] = 1.0
+    M = A @ A
+    return int(round((M * A).sum(dtype=torch.float64).item())) // 6
+
+
+@slow
+def test_tc_scale13_paths_agree_and_match_host():
+    g = rmat(13, 16)
+    want = tc_matmul_oracle(g)
+    tiered = TrianglePlan(g, materialize=False).run()           # tier+hub
+    mat = TrianglePlan(g, materialize=True).run()               # streams
+    flat = TrianglePlan(g, hub_threshold=None, tiers=(),
+                        materialize=False).run()                # untier'd
+    assert tiered == mat == flat == want
+
+
+@slow
+def test_tc_hub_threshold_boundary():
+    # degrees straddling the hub threshold t=65: two overlapping cliques
+    # K66 (deg exactly 65 == t) and K67 (deg exactly 66 > t) sharing 10
+    # vertices, plus random sparse edges among untouched vertices
+    edges = []
+    k66 = list(range(66))
+    k67 = list(range(56, 123))
+    for c in (k66, k67):
+        for i, u in enumerate(c):
+            for v in c[i + 1:]:
+                edges.append((u, v))
+    rng = np.random.default_rng(5)
+    extra = rng.integers(123, 200, size=(400, 2))
+    edges.extend((int(a), int(b)) for a, b in extra if a != b)
+    g = build_csr(np.unique(np.sort(np.asarray(edges, np.int64), axis=1),
+                            axis=0), num_nodes=200)
+    assert {65, 66} <= set(np.asarray(g.degrees).tolist())
+    want = tc_matmul_oracle(g)
+    for t in (64, 65, 66, None):
+        got = TrianglePlan(g, hub_threshold=t).run()
+        assert got == want, (t, got, want)
+
+
+@slow
+@pytest.mark.parametrize("k", [4, 5])
+def test_kclique_scale12_sharded_vs_single(k):
+    from gms_tpu.algorithms.k_clique import kclique_count
+    from gms_tpu.parallel.multi import sharded_bron_kerbosch_count  # noqa: F401
+    from gms_tpu.parallel.multi import sharded_kclique_count
+    import jax
+
+    g = rmat(12, 8)
+    single = kclique_count(g, k)
+    sharded = sharded_kclique_count(g, k)
+    assert single == sharded and single > 0
+    del jax
+
+
+@slow
+def test_bk_scale11_vs_host_and_scale12_sharded():
+    from gms_tpu.algorithms.bron_kerbosch import (bron_kerbosch,
+                                                  bron_kerbosch_simple)
+    from gms_tpu.parallel.multi import sharded_bron_kerbosch_count
+
+    g = rmat(11, 6)
+    got = bron_kerbosch(g, collect=False)
+    want = len(bron_kerbosch_simple(g))
+    assert got == want
+
+    g2 = rmat(12, 8)
+    single = bron_kerbosch(g2, collect=False)
+    sharded = sharded_bron_kerbosch_count(g2)
+    assert single == sharded and single > 0
+
+
+@slow
+def test_per_vertex_tc_scale12_matches_total():
+    from gms_tpu.algorithms.triangle_count import triangle_count_per_vertex
+
+    g = rmat(12, 16)
+    pv = triangle_count_per_vertex(g)
+    assert int(pv.sum()) == 3 * triangle_count(g)
+    assert pv.dtype == np.int64

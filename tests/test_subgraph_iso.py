@@ -76,3 +76,40 @@ def test_limit_stops_early():
     assert len(res) == 5
     for row in res:
         assert si.verify_mapping(g, TRIANGLE, row)
+
+
+# --- larger patterns + bounded-memory hardening (vf2.hpp:40-106 role) ------
+
+PATH5 = G([[0, 1], [1, 2], [2, 3], [3, 4]])
+STAR5 = G([[0, 1], [0, 2], [0, 3], [0, 4]])
+DIAMOND = G([[0, 1], [0, 2], [1, 2], [1, 3], [2, 3]])
+CYCLE6 = G([[0, 1], [1, 2], [2, 3], [3, 4], [4, 5], [5, 0]])
+
+
+@pytest.mark.parametrize("induced", [False, True])
+@pytest.mark.parametrize("pat", [PATH5, STAR5, DIAMOND, CYCLE6])
+def test_big_patterns_vs_oracle(pat, induced):
+    g = build_csr(random_graph(60, 0.12, 5), num_nodes=60)
+    got = si.subgraph_isomorphism(g, pat, induced=induced, limit=None)
+    want = si.subgraph_isomorphism_oracle(g, pat, induced=induced)
+    assert {tuple(r) for r in got.tolist()} == set(want)
+
+
+def test_item_budget_invariance_large_graph():
+    # enumerate-all of a frequent pattern on a 1k-vertex graph: a tiny
+    # item_budget forces many LIFO slices; results must not change
+    g = build_csr(random_graph(1000, 0.008, 9), num_nodes=1000)
+    big = si.subgraph_isomorphism(g, PATH5, limit=None, item_budget=1 << 18)
+    small = si.subgraph_isomorphism(g, PATH5, limit=None, item_budget=1 << 10)
+    bs = {tuple(r) for r in big.tolist()}
+    ss = {tuple(r) for r in small.tolist()}
+    assert len(bs) == len(big) and bs == ss and len(bs) > 100
+    for row in big[:20]:
+        assert si.verify_mapping(g, PATH5, row)
+
+
+def test_find_first_under_tiny_budget():
+    g = build_csr(random_graph(300, 0.05, 4), num_nodes=300)
+    res = si.subgraph_isomorphism(g, DIAMOND, limit=1, item_budget=1 << 9)
+    assert res.shape[0] == 1
+    assert si.verify_mapping(g, DIAMOND, res[0])
