@@ -35,12 +35,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SCALE = int(os.environ.get("BENCH_SCALE", "18"))
 DEGREE = int(os.environ.get("BENCH_DEGREE", "16"))
-TRIALS = int(os.environ.get("BENCH_TRIALS", "8"))
+TRIALS = int(os.environ.get("BENCH_TRIALS", "32"))
 SEED = 27491095  # reference default (gapbs/util.h kRandSeed)
 
 
-def _stream_bandwidth() -> float:
-    """Measured stream bandwidth (GB/s) via chained xor-sum, one fetch."""
+def _stream_bandwidth(reps: int = 64) -> float:
+    """Measured stream bandwidth (GB/s): chained xor-sums inside ONE
+    program (this chip has a ~20ms fixed cost per executable execution,
+    so per-dispatch chaining would understate the ceiling ~6x)."""
+    import functools
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -48,23 +52,30 @@ def _stream_bandwidth() -> float:
     x = jnp.asarray(np.random.default_rng(1).integers(
         0, 2**31, (64 * 1024 * 1024,), dtype=np.int32))
 
-    @jax.jit
-    def f(x, salt):
-        return jnp.sum(x ^ salt, dtype=jnp.int64)
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def scan(x, salt0, *, reps):
+        def step(salt, _):
+            out = jnp.sum(x ^ salt, dtype=jnp.int64)
+            return (out % jnp.int64(1009)).astype(jnp.int32) + salt + 1, out
 
-    int(f(x, jnp.int32(0)))  # warm + autotune
+        _, outs = jax.lax.scan(step, salt0, None, length=reps)
+        return outs
+
+    np.asarray(scan(x, jnp.int32(3), reps=reps))  # warm + autotune
     t0 = time.perf_counter()
-    o = jnp.int32(1)
-    r = 4
-    for k in range(r):
-        o = (f(x, o.astype(jnp.int32)) % 100003).astype(jnp.int32)
-    int(o)
-    dt = (time.perf_counter() - t0) / r
+    np.asarray(scan(x, jnp.int32(11), reps=reps))
+    dt = (time.perf_counter() - t0) / reps
     return x.size * 4 / dt / 1e9
 
 
 def main() -> None:
     import jax
+
+    # one-time compiles dominate cold wall-clock on the tunnel-attached
+    # chip; persist them so repeated driver runs skip straight to execution
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from gms_tpu.algorithms.triangle_count import TrianglePlan
     from gms_tpu.io.builder import build_csr
