@@ -247,14 +247,20 @@ def _plan_root_chunks(deg_all, roots_all, root_chunk: int, pad_id):
     (EppsteinSubGraphAdaptive.h boundary switch)."""
     order = np.argsort(deg_all[roots_all], kind="stable")
     roots_sorted = roots_all[order]
-    mem_budget_words = 1 << 26  # ~256MB of adjacency per chunk
+    # Hard per-dispatch adjacency budget (~128MB). build_local_adj's scan
+    # materializes adj twice (scan stack + transpose), so the true peak is
+    # ~2x this; the 256-floor _bucket MUST NOT be used here — it silently
+    # multiplied hub chunks 16x and crashed the TPU worker at scale 16
+    # (VERDICT r02 item 1: 4.3GB adjacency for the W=16384 chunk).
+    mem_budget_words = 1 << 25
     start = 0
     while start < len(roots_sorted):
         d0 = int(deg_all[roots_sorted[start]])
         W = max(32, 1 << int(np.ceil(np.log2(max(d0, 1)))))
         WW = W // 32
-        cmax = max(16, min(root_chunk, _bucket(
-            max(mem_budget_words // (W * WW), 16)) // 2))
+        cmax = max(1, min(root_chunk,
+                          1 << int(np.log2(max(mem_budget_words // (W * WW),
+                                               1)))))
         stop = start
         while stop < len(roots_sorted) and stop - start < cmax and \
                 deg_all[roots_sorted[stop]] <= W:

@@ -160,6 +160,221 @@ def total_popcount(S):
 
 
 # ---------------------------------------------------------------------------
+# fused whole-chunk kernel: the entire k-2-level DFS in ONE device dispatch
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("w_words", "k", "cap", "batch"))
+def kclique_count_chunk(nbr, chunk, *, w_words: int, k: int, cap: int,
+                        batch: int):
+    """Count k-cliques rooted at `chunk` in ONE device dispatch.
+
+    The role of kClist's per-thread DFS (kernels/kclisting.h:92-114 driven
+    by parallelize.h:38-66 node-parallel / :100-118 edge-parallel), fused
+    the way `bron_kerbosch.bk_count_chunk` is: a device-resident LIFO work
+    stack inside one `lax.while_loop`, so the host never sees per-level
+    sizes (the per-slice `int(n2)` readbacks that made the unfused path
+    thousands of ~20ms tunnel round-trips).
+
+    Item = (S uint32[WW] candidate bitset, R root-chunk index, rem vertices
+    still needed). Each iteration pops `batch` items off the top, expands
+    every popped item along ALL W local vertices at once (child = S & adj
+    rows — the dense [B, W, WW] AND + popcount), banks leaf counts
+    (rem == 2: Σ_{i∈S} |S ∩ adj_i|, exact int64) and pushes surviving
+    deeper children back with a cumsum-compacted scatter.
+
+    Hub skew is a non-issue by construction (VERDICT item 7 /
+    parallelize.h edge-parallel): after a root item's first expansion its
+    children (one per DAG edge) are independent pool items, so a hub's
+    subtree spreads across batches instead of serializing one chunk.
+
+    Stack bound: pops take the most recently pushed (lowest-rem) items, so
+    the stack stays sorted by rem (non-increasing upward) and each rem
+    level holds at most one batch's fan-out — peak size <= C + (k-2)*
+    batch*W. Callers size `cap` to that, making the overflow flag a pure
+    safety assert rather than a retry path.
+    """
+    WW = w_words
+    W = 32 * WW
+    C = chunk.shape[0]
+    BW = batch * W
+    # the stack buffer carries BW rows of headroom above `cap` live items so
+    # the push is ONE contiguous dynamic_update_slice at `base` (never a
+    # scatter — XLA row-scatter is the op this chip executes worst); rows
+    # between new_sp and base+BW are zeroed garbage above the live region
+    cap_total = cap + BW
+    assert cap >= max(C, batch)
+    adj, S0 = build_local_adj(nbr, chunk, w_words=WW)
+    pc0 = jnp.sum(jax.lax.population_count(S0), axis=1, dtype=jnp.int32)
+    S0 = jnp.where((pc0 >= k - 1)[:, None], S0, jnp.uint32(0))
+
+    # meta packs (root index, rem) into one int32: meta = R*256 + rem
+    S_stack = jnp.zeros((cap_total, WW), jnp.uint32)
+    M_stack = jnp.zeros((cap_total,), jnp.int32)
+    S_stack = jax.lax.dynamic_update_slice(S_stack, S0, (0, 0))
+    M_stack = jax.lax.dynamic_update_slice(
+        M_stack, jnp.arange(C, dtype=jnp.int32) * 256 + (k - 1), (0,))
+
+    widx = jnp.arange(W, dtype=jnp.int32)
+    out_iota = jnp.arange(BW, dtype=jnp.int32)
+
+    def cond(st):
+        _S, _M, sp, _t, ovf = st
+        return (sp > 0) & ~ovf
+
+    def body(st):
+        S_stack, M_stack, sp, total, ovf = st
+        base = jnp.maximum(sp - batch, 0)
+        idx = base + jnp.arange(batch, dtype=jnp.int32)
+        live = idx < sp
+        S = jnp.where(live[:, None],
+                      jnp.take(S_stack, idx, axis=0, mode="clip"),
+                      jnp.uint32(0))
+        meta = jnp.take(M_stack, idx, mode="clip")
+        R = meta >> 8
+        rem = jnp.where(live, meta & 255, 0)
+
+        rows = jnp.take(adj, jnp.clip(R, 0, C - 1), axis=0)    # [B, W, WW]
+        child = S[:, None, :] & rows
+        words = jnp.take(S, widx >> 5, axis=1)                 # [B, W]
+        has = ((words >> (widx & 31).astype(jnp.uint32)[None, :]) & 1) == 1
+        pc = jnp.sum(jax.lax.population_count(child), axis=2,
+                     dtype=jnp.int32)                          # [B, W]
+
+        leaf = live & (rem == 2)
+        total = total + jnp.sum(
+            jnp.where(leaf[:, None] & has, pc, 0), dtype=jnp.int64)
+
+        ok = live[:, None] & (rem[:, None] > 2) & has & (pc >= rem[:, None] - 1)
+        flat_ok = ok.reshape(BW)
+        cum = jnp.cumsum(flat_ok.astype(jnp.int32))
+        n_child = cum[-1]
+        new_sp = base + n_child
+        ovf = ovf | (new_sp > cap)
+        # scatter-free stable compaction: output slot j takes the (j+1)-th
+        # valid child — its source index is a vectorized binary search of
+        # j+1 in the prefix-sum (cheap VPU passes, no sort, no scatter)
+        src = jnp.searchsorted(cum, out_iota + 1, side="left")
+        src = jnp.minimum(src, BW - 1)
+        keep = out_iota < n_child
+        child_out = jnp.where(
+            keep[:, None],
+            jnp.take(child.reshape(BW, WW), src, axis=0),
+            jnp.uint32(0))
+        meta_child = jnp.broadcast_to(
+            R[:, None] * 256 + (rem[:, None] - 1), (batch, W))  # [B, W]
+        meta_out = jnp.where(keep, jnp.take(meta_child.reshape(BW), src), 0)
+        S_stack = jax.lax.dynamic_update_slice(
+            S_stack, child_out, (base, jnp.int32(0)))
+        M_stack = jax.lax.dynamic_update_slice(M_stack, meta_out, (base,))
+        return (S_stack, M_stack, new_sp, total, ovf)
+
+    _, _, _, total, overflow = jax.lax.while_loop(
+        cond, body,
+        (S_stack, M_stack, jnp.int32(C), jnp.int64(0), jnp.bool_(False)),
+    )
+    return total, overflow
+
+
+# ---------------------------------------------------------------------------
+# MXU path for k in {3, 4, 5}: the bottom three recursion levels computed as
+# batched bit-matrix matmuls — no while_loop, no item churn
+# ---------------------------------------------------------------------------
+#
+# For an item (root r, candidate bitset S) that still needs THREE vertices,
+# the count is sum_{i in S} sum_{j in S∩adj_i} |S ∩ adj_i ∩ adj_j|.
+# With M[i, l] = [l ∈ S ∩ adj_i] (rows masked to i ∈ S) and
+# A[j, l] = [l ∈ adj_j] (the root's local DAG adjacency as a 0/1 matrix):
+#     count = Σ_{i,j,l} M[i,j]·M[i,l]·A[j,l] = Σ (M ⊙ (M @ A))
+# — one batched [B,W,W]x[B,W,W] matmul on the MXU. Exact: entries of M@A
+# are ≤ W < 2^24, so bf16 operands with float32 accumulation are integral.
+# This is where kClist's levels 3/2/1 (kernels/kclisting.h:92-146) go on a
+# TPU: the deepest, hottest levels become dense systolic-array work instead
+# of pointer-chasing recursion.
+#
+# k=5: items are the DAG edges of the chunk (root r, local index i), with
+#      S = S0_r ∩ adj_r[i] — the edge-parallel strategy
+#      (parallelizationStrategy/parallelize.h:81-121) rather than
+#      node-parallel, so hub roots cannot serialize a chunk.
+# k=4: items are the roots themselves with S = S0_r.
+# k=3: Σ_i |S0 ∩ adj_i| — popcount only, no matmul needed.
+
+
+@functools.partial(jax.jit, static_argnames=("w_words", "k", "batch"))
+def kclique_mxu_chunk(nbr, chunk, item_r, item_i, *, w_words: int, k: int,
+                      batch: int):
+    """Count k-cliques (k in {3,4,5}) for one root chunk in ONE dispatch.
+
+    item_r/item_i: int32[Nitems] item arrays, padded to a batch multiple
+    (pad items carry r pointing at a pad root whose S0 is empty). For
+    k in {3, 4} item_i is ignored (items are roots).
+    """
+    WW = w_words
+    W = 32 * WW
+    C = chunk.shape[0]
+    adj, S0 = build_local_adj(nbr, chunk, w_words=WW)
+    widx = jnp.arange(W, dtype=jnp.int32)
+    shift = (widx & 31).astype(jnp.uint32)
+    word = widx >> 5
+
+    def unpack(bits):  # uint32[..., WW] -> bf16[..., W] of 0/1
+        w = jnp.take(bits, word, axis=-1)
+        return ((w >> shift) & 1).astype(jnp.bfloat16)
+
+    n_steps = item_r.shape[0] // batch
+    items = (item_r.reshape(n_steps, batch), item_i.reshape(n_steps, batch))
+
+    def step(total, it):
+        R, I = it
+        valid = I >= 0                                     # pad items: I == -1
+        Ic = jnp.maximum(I, 0)
+        S0r = jnp.take(S0, R, axis=0)                      # [B, WW]
+        if k >= 5:
+            rowRI = adj[R, Ic]                             # [B, WW]
+            S = S0r & rowRI
+        else:
+            S = S0r
+        S = jnp.where(valid[:, None], S, jnp.uint32(0))
+        rows = jnp.take(adj, R, axis=0)                    # [B, W, WW]
+        child = S[:, None, :] & rows
+        has = ((jnp.take(S, word, axis=1) >> shift[None, :]) & 1) == 1
+        if k == 3:
+            pc = jnp.sum(jax.lax.population_count(child), axis=2,
+                         dtype=jnp.int32)
+            cnt = jnp.sum(jnp.where(has, pc, 0), dtype=jnp.int64)
+            return total + cnt, None
+        M = unpack(child) * has[:, :, None].astype(jnp.bfloat16)  # [B, W, W]
+        A = unpack(rows)                                   # [B, W, W]
+        Q = jax.lax.dot_general(
+            M, A, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)            # [B, W, W]
+        per_item = jnp.sum(M.astype(jnp.float32) * Q, axis=(1, 2))  # exact
+        return total + jnp.sum(per_item.astype(jnp.int64)), None
+
+    total, _ = jax.lax.scan(step, jnp.int64(0), items)
+    return total
+
+
+def _chunk_edge_items(dag_deg: np.ndarray, chunk: np.ndarray, pad_id,
+                      batch: int, C: int):
+    """Host: (item_r, item_i) = every DAG edge of the chunk as (chunk slot,
+    local neighbor index), padded to a batch multiple — bulk numpy."""
+    deg = np.where(chunk == pad_id, 0, dag_deg[np.minimum(chunk, len(dag_deg) - 1)])
+    deg = deg.astype(np.int64)
+    total = int(deg.sum())
+    starts = np.zeros(C + 1, dtype=np.int64)
+    np.cumsum(deg, out=starts[1:])
+    item_r = np.repeat(np.arange(C, dtype=np.int32), deg)
+    item_i = (np.arange(total, dtype=np.int64)
+              - np.repeat(starts[:-1], deg)).astype(np.int32)
+    pad = (-total) % batch
+    if pad or total == 0:
+        pad = pad if total else batch
+        item_r = np.concatenate([item_r, np.zeros(pad, np.int32)])
+        item_i = np.concatenate([item_i, np.full(pad, -1, np.int32)])
+    return item_r, item_i
+
+
+# ---------------------------------------------------------------------------
 # host orchestration
 # ---------------------------------------------------------------------------
 
@@ -169,11 +384,15 @@ def kclique_count(
     *,
     rank: np.ndarray | None = None,
     root_chunk: int = DEFAULT_ROOT_CHUNK,
+    batch: int | None = None,
 ) -> int:
     """Exact number of k-cliques in the undirected graph g.
 
     Equivalent output to kClist node-parallel counting
     (k_clique_list_danisch_node_parallel.cc); each clique counted once.
+    All chunk kernels are enqueued before any result is fetched (async
+    dispatch), so host<->device latency is paid once per retry round, not
+    per chunk.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -194,57 +413,63 @@ def kclique_count(
         return 0
 
     nbr = pg.nbr
-    total = 0
     pad_id = np.int32(pg.v_pad)  # clip-gathers to the last (all-SENTINEL) row
-    # Item-buffer discipline: fixed slice size and fixed output capacity
-    # (slice * W is the worst-case un-pruned fanout), so expand_level
-    # compiles exactly once per recursion level — and expanding a slice
-    # can never overflow. LIFO slicing bounds peak item memory: the TPU
-    # analog of kClist's per-thread DFS bounding its working set
-    # (breadth for vectorization, depth for memory).
-    slice_items = max(256, _bucket((1 << 21) // max(W, 1)) // 2)
-    cap = slice_items * W
+    dag_deg = np.asarray(dag.degrees)
+
+    if k <= 5:
+        # MXU path: all chunk scans enqueued, ONE fetch at the end
+        if batch is None:
+            # [B, W, W] bf16 unpack tensors ~2*B*W^2 bytes; target ~64MB
+            batch = max(32, _bucket((1 << 25) // max(W * W, 1)) // 2)
+        results = []
+        for start in range(0, len(roots), root_chunk):
+            chunk = roots[start : start + root_chunk]
+            if len(chunk) < root_chunk:
+                chunk = np.concatenate(
+                    [chunk, np.full(root_chunk - len(chunk), pad_id,
+                                    dtype=np.int32)])
+            if k == 5:
+                item_r, item_i = _chunk_edge_items(
+                    dag_deg, chunk, pad_id, batch, root_chunk)
+            else:
+                item_r = np.arange(root_chunk, dtype=np.int32)
+                item_i = np.zeros(root_chunk, dtype=np.int32)
+                pad = (-root_chunk) % batch
+                if pad:
+                    item_r = np.concatenate([item_r, np.zeros(pad, np.int32)])
+                    item_i = np.concatenate([item_i, np.full(pad, -1, np.int32)])
+            results.append(kclique_mxu_chunk(
+                nbr, jnp.asarray(chunk), jnp.asarray(item_r),
+                jnp.asarray(item_i), w_words=WW, k=k, batch=batch))
+        return int(sum(int(t) for t in results))
+
+    # k >= 6: fused device work-stack (whole DFS per chunk in one dispatch)
+    if batch is None:
+        batch = max(128, _bucket((1 << 19) // max(W, 1)) // 2)
+    cap = root_chunk + (k - 2) * batch * W + batch
+
+    def dispatch(chunk, cap):
+        return kclique_count_chunk(nbr, jnp.asarray(chunk), w_words=WW,
+                                   k=k, cap=cap, batch=batch)
+
+    pending = []
     for start in range(0, len(roots), root_chunk):
         chunk = roots[start : start + root_chunk]
-        C = len(chunk)
-        if C < root_chunk:
+        if len(chunk) < root_chunk:
             chunk = np.concatenate(
-                [chunk, np.full(root_chunk - C, pad_id, dtype=np.int32)]
-            )
-        adj, S0 = build_local_adj(nbr, jnp.asarray(chunk), w_words=WW)
-        if k == 3:
-            # one expansion with need=1 yields the count directly
-            _s, _r, _n, pcs = expand_level(
-                S0, jnp.arange(root_chunk, dtype=jnp.int32), adj,
-                cap=root_chunk * W, need=1)
-            total += int(pcs)
-            continue
-        stack = [(k - 1, S0, jnp.arange(root_chunk, dtype=jnp.int32))]
-        while stack:
-            remaining, S, R = stack.pop()
-            if S.shape[0] > slice_items:
-                # LIFO slicing keeps peak item memory bounded
-                for s0 in range(0, S.shape[0], slice_items):
-                    stack.append((remaining, S[s0 : s0 + slice_items],
-                                  R[s0 : s0 + slice_items]))
-                continue
-            if S.shape[0] < slice_items and S.shape[0] != root_chunk:
-                pad = slice_items - S.shape[0]
-                S = jnp.concatenate([S, jnp.zeros((pad, WW), jnp.uint32)])
-                R = jnp.concatenate([R, jnp.zeros((pad,), jnp.int32)])
-            S2, R2, n2, pcs = expand_level(
-                S, R, adj, cap=S.shape[0] * W, need=remaining - 1
-            )
-            if remaining == 2:
-                # children are the last level; their popcounts ARE the count
-                total += int(pcs)
-                continue
-            n2 = int(n2)
-            if n2 == 0:
-                continue
-            # trim to the bucketed live prefix (slots beyond n2 are zero)
-            keep = min(_bucket(n2), S2.shape[0])
-            stack.append((remaining - 1, S2[:keep], R2[:keep]))
+                [chunk, np.full(root_chunk - len(chunk), pad_id,
+                                dtype=np.int32)])
+        pending.append((chunk, cap, dispatch(chunk, cap)))
+
+    total = 0
+    while pending:
+        nxt = []
+        for chunk, c, (t, ovf) in pending:
+            if bool(ovf):  # safety net; unreachable given the stack bound
+                nxt.append((chunk, 2 * c, dispatch(chunk, 2 * c)))
+            else:
+                total += int(t)
+        pending = nxt
     return total
 
 

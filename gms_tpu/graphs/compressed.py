@@ -128,11 +128,13 @@ class KbitGraphBucketed:
 
     @classmethod
     def from_csr(cls, g: CSRGraph) -> "KbitGraphBucketed":
-        # row's local width = bits of its max neighbor id
-        maxn = np.zeros(g.num_nodes, dtype=np.int64)
-        for v in range(g.num_nodes):
-            row = g.out_neigh(v)
-            maxn[v] = row.max(initial=1)
+        # row's local width = bits of its max neighbor id; rows are sorted,
+        # so the max is the last CSR entry of each non-empty row (bulk
+        # gather — the reference builder's O(m) pass, builder.h:328-781)
+        maxn = np.ones(g.num_nodes, dtype=np.int64)
+        nz = g.degrees > 0
+        if g.num_edges:
+            maxn[nz] = g.indices[np.asarray(g.indptr[1:])[nz] - 1]
         kreq = np.ceil(np.log2(np.maximum(maxn + 1, 2))).astype(np.int64)
         parts = {}
         pg_vpad = round_up(max(g.num_nodes, 1), 8)
@@ -162,17 +164,33 @@ class KbitGraphBucketed:
         return total / max(self.num_edges, 1)
 
 
+def _gather_rows(g: CSRGraph, deg: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Bulk CSR row gather: new (indptr, indices) keeping deg[v] entries of
+    each row (deg[v] in {0, degree(v)}) — one repeat + one fancy gather,
+    no per-vertex Python loop."""
+    deg = deg.astype(np.int64)
+    indptr = np.zeros(len(deg) + 1, dtype=np.int64)
+    np.cumsum(deg, out=indptr[1:])
+    total = int(indptr[-1])
+    src_start = np.asarray(g.indptr[:-1], dtype=np.int64)
+    pos = (np.repeat(src_start, deg)
+           + np.arange(total, dtype=np.int64)
+           - np.repeat(indptr[:-1], deg))
+    return indptr, g.indices[pos].astype(np.int32)
+
+
 def _induce_rows(g: CSRGraph, vids: np.ndarray) -> CSRGraph:
     """CSR containing only the rows of vids (compacted), ids unchanged."""
+    deg = np.zeros(len(vids), dtype=np.int64)
+    deg[:] = g.degrees[vids]
+    sub_start = np.asarray(g.indptr[:-1], dtype=np.int64)[vids]
     indptr = np.zeros(len(vids) + 1, dtype=np.int64)
-    chunks = []
-    for i, v in enumerate(vids):
-        row = g.out_neigh(int(v))
-        chunks.append(row)
-        indptr[i + 1] = indptr[i] + len(row)
-    indices = (np.concatenate(chunks) if chunks else
-               np.zeros(0, dtype=np.int32))
-    return CSRGraph(indptr, indices, directed=True)
+    np.cumsum(deg, out=indptr[1:])
+    total = int(indptr[-1])
+    pos = (np.repeat(sub_start, deg)
+           + np.arange(total, dtype=np.int64)
+           - np.repeat(indptr[:-1], deg))
+    return CSRGraph(indptr, g.indices[pos].astype(np.int32), directed=True)
 
 
 # ---------------------------------------------------------------------------
@@ -183,27 +201,38 @@ def varint_encode_graph(g: CSRGraph) -> dict:
     """Delta + varint bytes per row (varint_byte_based_graph.h role).
 
     First value per row is the raw id; the rest are gaps-1 (rows are sorted
-    strictly increasing after squish).
+    strictly increasing after squish). Fully vectorized: per-token byte
+    lengths, one cumsum for positions, one masked store per byte lane —
+    O(m) like the reference's builder pass (builder.h:560-654), not a
+    Python loop over vertices.
     """
-    payload = bytearray()
-    offsets = np.zeros(g.num_nodes + 1, dtype=np.int64)
-    for v in range(g.num_nodes):
-        row = g.out_neigh(v).astype(np.int64)
-        vals = np.empty_like(row)
-        if len(row):
-            vals[0] = row[0]
-            vals[1:] = row[1:] - row[:-1] - 1
-        for x in vals:
-            x = int(x)
-            while True:
-                b = x & 0x7F
-                x >>= 7
-                payload.append(b | (0x80 if x else 0))
-                if not x:
-                    break
-        offsets[v + 1] = len(payload)
-    return {"payload": bytes(payload), "offsets": offsets,
-            "num_nodes": g.num_nodes, "directed": g.directed()}
+    n = g.num_nodes
+    m = int(g.num_edges)
+    idx = g.indices.astype(np.int64)
+    indptr = np.asarray(g.indptr, dtype=np.int64)
+    starts = indptr[:-1][g.degrees > 0]          # first-token positions
+    vals = np.empty(m, dtype=np.int64)
+    if m:
+        vals[1:] = idx[1:] - idx[:-1] - 1
+        vals[starts] = idx[starts]
+    # bytes per token: ceil(bit_length/7), min 1
+    nb = np.ones(m, dtype=np.int64)
+    v = vals >> 7
+    while v.any():
+        nb[v > 0] += 1
+        v >>= 7
+    cum = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(nb, out=cum[1:])
+    payload = np.zeros(int(cum[-1]), dtype=np.uint8)
+    for b in range(int(nb.max(initial=0))):
+        sel = nb > b
+        more = nb > b + 1
+        payload[cum[:-1][sel] + b] = (
+            ((vals[sel] >> (7 * b)) & 0x7F) | np.where(more[sel], 0x80, 0)
+        ).astype(np.uint8)
+    offsets = cum[indptr]
+    return {"payload": payload.tobytes(), "offsets": offsets,
+            "num_nodes": n, "directed": g.directed()}
 
 
 def varint_decode_graph(data: dict) -> CSRGraph:
@@ -224,14 +253,19 @@ def varint_decode_graph(data: dict) -> CSRGraph:
     tok_of_byte[ends + 1] = 1
     tok_of_byte = np.cumsum(tok_of_byte)
     indptr = tok_of_byte[offsets]
-    indices = np.zeros(indptr[-1], dtype=np.int64)
-    for v in range(n):
-        row_vals = vals[indptr[v]:indptr[v + 1]]
-        if len(row_vals):
-            row = np.cumsum(row_vals + 1) - 1
-            row[0] = row_vals[0]
-            row[1:] = row_vals[0] + np.cumsum(row_vals[1:] + 1)
-            indices[indptr[v]:indptr[v + 1]] = row
+    # segment prefix-sum: token t in row v decodes to
+    # first + Σ(gap_i + 1) = csum[t] - (csum[start] - vals[start])
+    m = int(indptr[-1])
+    deg = np.diff(indptr)
+    row_start = indptr[:-1][deg > 0]
+    adj = vals + 1
+    if m:
+        adj[row_start] = vals[row_start]
+    csum = np.cumsum(adj)
+    base = np.zeros(m, dtype=np.int64)
+    if m:
+        base[:] = np.repeat(csum[row_start] - vals[row_start], deg[deg > 0])
+    indices = csum - base
     return CSRGraph(indptr, indices.astype(np.int32),
                     directed=data["directed"])
 
@@ -316,13 +350,8 @@ def as_csr(rep) -> CSRGraph:
 
 
 def _mask_rows(g: CSRGraph, vids: np.ndarray) -> CSRGraph:
-    keep = np.ones(g.num_nodes, dtype=bool)
-    keep[vids] = False
-    indptr = np.zeros(g.num_nodes + 1, dtype=np.int64)
-    chunks = []
-    for v in range(g.num_nodes):
-        row = g.out_neigh(v) if keep[v] else np.zeros(0, np.int32)
-        chunks.append(row)
-        indptr[v + 1] = indptr[v] + len(row)
-    indices = (np.concatenate(chunks) if chunks else np.zeros(0, np.int32))
-    return CSRGraph(indptr, indices.astype(np.int32), directed=True)
+    """CSR with the rows of vids emptied (bulk gather, no Python loop)."""
+    deg = g.degrees.astype(np.int64).copy()
+    deg[vids] = 0
+    indptr, indices = _gather_rows(g, deg)
+    return CSRGraph(indptr, indices, directed=True)

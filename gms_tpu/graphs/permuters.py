@@ -56,30 +56,53 @@ def apply_permutation(g: CSRGraph, variant: str, *, seed: int = 0) -> CSRGraph:
     return g.relabel(permutation_map(g, variant, seed=seed))
 
 
+def _frontier_targets(g: CSRGraph, frontier: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenated neighbor lists of `frontier` in frontier order:
+    (targets, parent_slot) — one repeat + fancy gather, no Python loop."""
+    deg = g.degrees.astype(np.int64)[frontier]
+    total = int(deg.sum())
+    out_ptr = np.zeros(len(frontier) + 1, dtype=np.int64)
+    np.cumsum(deg, out=out_ptr[1:])
+    src = (np.repeat(np.asarray(g.indptr[:-1], np.int64)[frontier], deg)
+           + np.arange(total, dtype=np.int64)
+           - np.repeat(out_ptr[:-1], deg))
+    targets = g.indices[src].astype(np.int64)
+    parent_slot = np.repeat(np.arange(len(frontier), dtype=np.int64), deg)
+    return targets, parent_slot
+
+
+def _first_unseen_in_order(targets: np.ndarray, seen: np.ndarray) -> np.ndarray:
+    """First occurrence of each not-yet-seen target, in list order — exactly
+    the set a FIFO queue would append (each parent in order, skipping seen
+    or already-queued)."""
+    t = targets[~seen[targets]]
+    uniq, first = np.unique(t, return_index=True)
+    return uniq[np.argsort(first, kind="stable")]
+
+
 def _bfs_order(g: CSRGraph) -> np.ndarray:
     """BFS visit order from the max-degree vertex per component: neighbors
     get adjacent ids, shrinking the delta gaps the varint/k-bit coders pay
-    for (the objective of the reference's CPLEX gap orderings)."""
+    for (the objective of the reference's CPLEX gap orderings).
+    Level-synchronous bulk frontiers (identical order to a FIFO queue)."""
     n = g.num_nodes
     seen = np.zeros(n, dtype=bool)
     order = np.empty(n, dtype=np.int64)
     pos = 0
     by_deg = np.argsort(-g.degrees, kind="stable")
-    from collections import deque
-
-    for root in by_deg:
-        if seen[root]:
-            continue
-        q = deque([int(root)])
-        seen[root] = True
-        while q:
-            v = q.popleft()
-            order[pos] = v
-            pos += 1
-            for w in g.out_neigh(v):
-                if not seen[w]:
-                    seen[w] = True
-                    q.append(int(w))
+    ri = 0
+    while pos < n:
+        while ri < n and seen[by_deg[ri]]:
+            ri += 1
+        frontier = np.array([by_deg[ri]], dtype=np.int64)
+        seen[frontier] = True
+        while len(frontier):
+            order[pos : pos + len(frontier)] = frontier
+            pos += len(frontier)
+            nxt = _first_unseen_in_order(_frontier_targets(g, frontier)[0],
+                                         seen)
+            seen[nxt] = True
+            frontier = nxt
     return order
 
 
@@ -93,22 +116,24 @@ def _rcm_order(g: CSRGraph) -> np.ndarray:
     order = np.empty(n, dtype=np.int64)
     pos = 0
     deg = g.degrees
-    from collections import deque
-
-    for root in np.argsort(deg, kind="stable"):  # min-degree roots
-        if seen[root]:
-            continue
-        q = deque([int(root)])
-        seen[root] = True
-        while q:
-            v = q.popleft()
-            order[pos] = v
-            pos += 1
-            nbrs = g.out_neigh(v)
-            nbrs = nbrs[~seen[nbrs]]
-            for w in nbrs[np.argsort(deg[nbrs], kind="stable")]:
-                seen[w] = True
-                q.append(int(w))
+    by_deg = np.argsort(deg, kind="stable")  # min-degree roots
+    ri = 0
+    while pos < n:
+        while ri < n and seen[by_deg[ri]]:
+            ri += 1
+        frontier = np.array([by_deg[ri]], dtype=np.int64)
+        seen[frontier] = True
+        while len(frontier):
+            order[pos : pos + len(frontier)] = frontier
+            pos += len(frontier)
+            targets, parent_slot = _frontier_targets(g, frontier)
+            # queue semantics: each parent in order appends its unseen
+            # neighbors sorted by degree (stable in row position)
+            srt = np.lexsort((np.arange(len(targets)), deg[targets],
+                              parent_slot))
+            nxt = _first_unseen_in_order(targets[srt], seen)
+            seen[nxt] = True
+            frontier = nxt
     return order[::-1].copy()
 
 
@@ -124,12 +149,12 @@ def _barycenter_order(g: CSRGraph, *, sweeps: int = 10) -> np.ndarray:
     pos = np.empty(n, dtype=np.float64)
     best_order = order.copy()
     best = _gap_bits_for_order(g, order)
+    deg = g.degrees.astype(np.int64)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), deg)
     for _ in range(sweeps):
         pos[order] = np.arange(n)
-        bary = np.zeros(n, dtype=np.float64)
-        for v in range(n):
-            row = g.out_neigh(v)
-            bary[v] = pos[row].mean() if len(row) else pos[v]
+        sums = np.bincount(row_of, weights=pos[g.indices], minlength=n)
+        bary = np.where(deg > 0, sums / np.maximum(deg, 1), pos)
         order = np.argsort(bary, kind="stable")
         cur = _gap_bits_for_order(g, order)
         if cur < best:
@@ -137,29 +162,31 @@ def _barycenter_order(g: CSRGraph, *, sweeps: int = 10) -> np.ndarray:
     return best_order
 
 
+def _row_gap_bits(indptr: np.ndarray, sorted_vals: np.ndarray) -> float:
+    """Mean log2(gap+1) over per-row deltas of sorted values, first delta
+    measured from -1 — one global diff, no per-vertex loop."""
+    m = len(sorted_vals)
+    if m == 0:
+        return 0.0
+    deg = np.diff(indptr)
+    first = np.asarray(indptr[:-1], np.int64)[deg > 0]
+    gaps = np.empty(m, dtype=np.int64)
+    gaps[1:] = sorted_vals[1:] - sorted_vals[:-1]
+    gaps[first] = sorted_vals[first] + 1
+    return float(np.log2(np.maximum(gaps, 1) + 1).sum()) / m
+
+
 def _gap_bits_for_order(g: CSRGraph, order: np.ndarray) -> float:
-    new_id = np.empty(g.num_nodes, dtype=np.int64)
-    new_id[order] = np.arange(g.num_nodes)
-    total, count = 0.0, 0
-    for v in range(g.num_nodes):
-        row = np.sort(new_id[g.out_neigh(v)])
-        if len(row) == 0:
-            continue
-        gaps = np.diff(np.concatenate([[-1], row]))
-        total += float(np.log2(np.maximum(gaps, 1) + 1).sum())
-        count += len(row)
-    return total / max(count, 1)
+    n = g.num_nodes
+    new_id = np.empty(n, dtype=np.int64)
+    new_id[order] = np.arange(n)
+    # sort relabeled ids within each row via one composite-key global sort
+    deg = g.degrees.astype(np.int64)
+    comp = np.repeat(np.arange(n, dtype=np.int64), deg) * n + new_id[g.indices]
+    comp.sort()
+    return _row_gap_bits(g.indptr, comp % n)
 
 
 def average_gap_bits(g: CSRGraph) -> float:
     """Mean log2 neighbor-gap — the coder-footprint figure of merit."""
-    total, count = 0.0, 0
-    for v in range(g.num_nodes):
-        row = g.out_neigh(v).astype(np.int64)
-        if len(row) == 0:
-            continue
-        gaps = np.diff(np.concatenate([[row[0]], row]))
-        gaps[0] = row[0] + 1
-        total += float(np.log2(np.maximum(gaps, 1) + 1).sum())
-        count += len(row)
-    return total / max(count, 1)
+    return _row_gap_bits(g.indptr, g.indices.astype(np.int64))

@@ -25,6 +25,7 @@ import os
 import re
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -79,11 +80,50 @@ def measure(binary: str, scale: int, extra: list[str]) -> dict:
             "all_trials": times}
 
 
+def measure_first_row(binary: str, scale: int, extra: list[str],
+                      row_match: str, timeout_s: int = 5400) -> list[str] | None:
+    """Stream the binary's stdout and return the first `@@@` row containing
+    `row_match`, then kill the child (the reference mains sweep dozens of
+    variants — e.g. k_clique_list_danisch_node_parallel.cc:12-51 runs 27
+    ordering variants; we baseline against the FIRST, their headline
+    degeneracy ordering). The child is killed by its exact Popen handle."""
+    cmd = ["timeout", str(timeout_s), binary, "-t", str(os.cpu_count()),
+           "-n", "1", "-g", "kronecker", str(scale), "--deg", "16"] + extra
+    print("+", " ".join(cmd), file=sys.stderr)
+    p = subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True)
+    row = None
+    try:
+        assert p.stdout is not None
+        for line in p.stdout:
+            if line.startswith("@@@") and row_match in line:
+                row = line.split()
+                break
+    finally:
+        p.terminate()
+        try:
+            p.wait(timeout=15)
+        except subprocess.TimeoutExpired:
+            p.kill()
+    return row
+
+
+def _floats(row: list[str]) -> list[float]:
+    out = []
+    for tok in row[1:]:
+        try:
+            out.append(float(tok))
+        except ValueError:
+            break
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--ref", default="/root/reference")
     ap.add_argument("--build", default="/tmp/refbuild")
     ap.add_argument("--scale", type=int, default=18)
+    ap.add_argument("--extra-scale", type=int, default=16,
+                    help="scale for the kclist/bk rows (bench.py BENCH_EXTRA)")
     ap.add_argument("--targets", default="tc")
     args = ap.parse_args()
     targets = args.targets.split(",")
@@ -95,15 +135,50 @@ def main() -> None:
     if os.path.exists(path):
         with open(path) as f:
             data = json.load(f)
+    # exact counts (ours, verified) used to convert the reference's seconds
+    # into cliques/sec on the identical workload
+    counts = {}
+    xpath = os.path.join(REPO, "BENCH_extra.json")
+    if os.path.exists(xpath):
+        with open(xpath) as f:
+            counts = json.load(f)
+
     for t in targets:
         name, extra, prefix = TARGETS[t]
-        r = measure(find_binary(args.build, name), args.scale, extra)
-        data[f"{prefix}_rmat{args.scale}_trial_seconds"] = r["best_trial_seconds"]
-        if r["edges"]:
-            data[f"{prefix}_rmat{args.scale}_edges"] = r["edges"]
-            data[f"{prefix}_rmat{args.scale}_edges_per_sec"] = (
-                r["edges"] / r["best_trial_seconds"])
-        print(t, r, file=sys.stderr)
+        binary = find_binary(args.build, name)
+        if t == "tc":
+            r = measure(binary, args.scale, extra)
+            data[f"tc_rmat{args.scale}_trial_seconds"] = r["best_trial_seconds"]
+            if r["edges"]:
+                data[f"tc_rmat{args.scale}_edges"] = r["edges"]
+                data[f"tc_rmat{args.scale}_edges_per_sec"] = (
+                    r["edges"] / r["best_trial_seconds"])
+            print(t, r, file=sys.stderr)
+        elif t == "kclist":
+            # Pipeline row: @@@ t_pre t_kclisting t_vsetup t_verify t_vteardown …
+            row = measure_first_row(binary, args.extra_scale, extra,
+                                    "degeneracy")
+            if row:
+                secs = _floats(row)[1]  # the kclisting phase
+                data["kclique5_seconds"] = secs
+                data["kclique5_scale"] = args.extra_scale
+                c = counts.get("kclique5", {}).get("count")
+                if c:
+                    data["kclique5_per_sec"] = c / secs
+                print("kclist row:", row, file=sys.stderr)
+        elif t == "bk":
+            # BenchmarkKernelBkPP row: @@@ trialTime [verify…] preprocTime label
+            row = measure_first_row(binary, args.extra_scale, extra, "BK-GMS-")
+            if row:
+                secs = _floats(row)[0]  # the BK kernel trial time
+                data["bk_seconds"] = secs
+                data["bk_scale"] = args.extra_scale
+                data["bk_variant"] = row[-1]
+                c = counts.get("bron_kerbosch", {}).get("count")
+                if c:
+                    data["bk_cliques_per_sec"] = c / secs
+                print("bk row:", row, file=sys.stderr)
+
     with open(path, "w") as f:
         json.dump(data, f, indent=2)
     print(json.dumps(data, indent=2))
