@@ -31,6 +31,16 @@ import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
 
+# Persist compiled executables across processes (role of the reference's
+# ahead-of-time C++ binaries): on the tunnel-attached chip a cold compile
+# costs tens of seconds, and the driver/bench/CLI all re-launch Python.
+import os as _os
+
+if not _os.environ.get("GMS_TPU_NO_COMPILE_CACHE"):
+    _jax.config.update("jax_compilation_cache_dir",
+                       _os.path.expanduser("~/.cache/jax"))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from gms_tpu.graphs.csr import CSRGraph
 from gms_tpu.graphs.tiles import PaddedGraph
 from gms_tpu.graphs.bitmap import BitmapGraph

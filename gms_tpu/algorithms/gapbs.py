@@ -295,9 +295,18 @@ def _sssp(nbr, wgt, source):
 
 def sssp(g, source: int, weights: np.ndarray | None = None) -> np.ndarray:
     """Shortest path distances; weights int per directed CSR slot (unit if
-    None); unreachable = -1. Non-CSR representations run with unit weights
-    (the compressed forms are unweighted, VERDICT 'Kbit_Weighted' note:
-    weighted variants pair a CSR weight tile with any decoded row source)."""
+    None); unreachable = -1. A KbitWeightedGraph (compressed ids + weights,
+    Kbit_Weighted_* role) computes straight from its packed planes; other
+    compressed representations run with unit weights."""
+    from gms_tpu.graphs.compressed import KbitWeightedGraph
+
+    if isinstance(g, KbitWeightedGraph):
+        if weights is not None:
+            raise ValueError("KbitWeightedGraph carries its own weights")
+        dist = np.asarray(_sssp(g.nbr, g.weight_rows(),
+                                jnp.int32(source)))[: g.num_nodes]
+        big = np.iinfo(np.int64).max // 4
+        return np.where(dist >= big, -1, dist)
     if isinstance(g, CSRGraph):
         pg = PaddedGraph.from_csr(g)
         if weights is None:

@@ -68,9 +68,12 @@ def build_local_adj(nbr, roots, *, w_words: int):
     Returns (adj uint32[C, W, w_words], S0 uint32[C, w_words]) where bit j
     of adj[b, i] says nbr[roots[b], j] ∈ N(nbr[roots[b], i]) — W = 32*w_words.
 
-    Built as a lax.scan over the local index i so peak memory is one
-    [C, D] neighbor-row gather per step (never [C, W, D]), which keeps the
-    build feasible when neighbors are hubs with huge rows.
+    Membership strategy mirrors sets/ops.py: fused broadcast-compare for
+    the common tier widths (dense VPU compare+any — ~100x the throughput
+    of vmapped binary-search gathers on this chip, which made the r02
+    builder the whole k-clique cost), falling back to a searchsorted scan
+    when the per-pair compare tile W*D would blow the VPU budget (BK's
+    hub tiers with W in the thousands).
     """
     W = 32 * w_words
     r_nbr_full = jnp.take(nbr, roots, axis=0, mode="clip")     # [C, D]
@@ -83,22 +86,44 @@ def build_local_adj(nbr, roots, *, w_words: int):
     valid = r_nbr != SENTINEL                                  # [C, W]
     weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
     C = r_nbr.shape[0]
+    D = nbr.shape[1]
 
-    def member_row(row, queries):
-        idx = jnp.minimum(jnp.searchsorted(row, queries), row.shape[0] - 1)
-        return row[idx] == queries
+    if W * D <= 1 << 18:
+        # blocked dense compare: scan over i-blocks sized so the fused
+        # [C, IB, W, D] equality tile stays ~2^27 elements
+        IB = max(1, min(W, (1 << 27) // max(C * W * D, 1)))
+        while W % IB:
+            IB -= 1
+        blocks = r_nbr.reshape(C, W // IB, IB).transpose(1, 0, 2)
 
-    def step(_, i):
-        rows_i = jnp.take(nbr, r_nbr[:, i], axis=0, mode="clip")  # [C, D]
-        m = jax.vmap(member_row)(rows_i, r_nbr)                   # [C, W]
-        m = m & valid & valid[:, i][:, None]
-        packed = jnp.sum(
-            m.reshape(C, w_words, 32).astype(jnp.uint32) * weights,
-            axis=2, dtype=jnp.uint32)                              # [C, WW]
-        return None, packed
+        def step(_, cols):                                     # cols [C, IB]
+            rows = jnp.take(nbr, cols, axis=0, mode="clip")    # [C, IB, D]
+            eq = rows[:, :, None, :] == r_nbr[:, None, :, None]
+            m = jnp.any(eq, axis=3)                            # [C, IB, W]
+            m = m & valid[:, None, :] & (cols != SENTINEL)[:, :, None]
+            packed = jnp.sum(
+                m.reshape(C, IB, w_words, 32).astype(jnp.uint32) * weights,
+                axis=3, dtype=jnp.uint32)                      # [C, IB, WW]
+            return None, packed
 
-    _, adj_cols = jax.lax.scan(step, None, jnp.arange(W, dtype=jnp.int32))
-    adj = jnp.transpose(adj_cols, (1, 0, 2))                   # [C, W, WW]
+        _, adj_blocks = jax.lax.scan(step, None, blocks)       # [NB, C, IB, WW]
+        adj = jnp.transpose(adj_blocks, (1, 0, 2, 3)).reshape(C, W, w_words)
+    else:
+        def member_row(row, queries):
+            idx = jnp.minimum(jnp.searchsorted(row, queries), row.shape[0] - 1)
+            return row[idx] == queries
+
+        def step(_, i):
+            rows_i = jnp.take(nbr, r_nbr[:, i], axis=0, mode="clip")  # [C, D]
+            m = jax.vmap(member_row)(rows_i, r_nbr)                   # [C, W]
+            m = m & valid & valid[:, i][:, None]
+            packed = jnp.sum(
+                m.reshape(C, w_words, 32).astype(jnp.uint32) * weights,
+                axis=2, dtype=jnp.uint32)                              # [C, WW]
+            return None, packed
+
+        _, adj_cols = jax.lax.scan(step, None, jnp.arange(W, dtype=jnp.int32))
+        adj = jnp.transpose(adj_cols, (1, 0, 2))               # [C, W, WW]
     S0 = jnp.sum(
         valid.reshape(C, w_words, 32).astype(jnp.uint32) * weights,
         axis=2, dtype=jnp.uint32,
@@ -276,42 +301,52 @@ def kclique_count_chunk(nbr, chunk, *, w_words: int, k: int, cap: int,
 
 
 # ---------------------------------------------------------------------------
-# MXU path for k in {3, 4, 5}: the bottom three recursion levels computed as
-# batched bit-matrix matmuls — no while_loop, no item churn
+# MXU path for k in {3, 4, 5}: per-root dense local DAG adjacency; the whole
+# bottom of the recursion becomes ONE large-M matmul per root group
 # ---------------------------------------------------------------------------
 #
-# For an item (root r, candidate bitset S) that still needs THREE vertices,
-# the count is sum_{i in S} sum_{j in S∩adj_i} |S ∩ adj_i ∩ adj_j|.
-# With M[i, l] = [l ∈ S ∩ adj_i] (rows masked to i ∈ S) and
-# A[j, l] = [l ∈ adj_j] (the root's local DAG adjacency as a 0/1 matrix):
-#     count = Σ_{i,j,l} M[i,j]·M[i,l]·A[j,l] = Σ (M ⊙ (M @ A))
-# — one batched [B,W,W]x[B,W,W] matmul on the MXU. Exact: entries of M@A
-# are ≤ W < 2^24, so bf16 operands with float32 accumulation are integral.
+# For a root r with local DAG adjacency A (W x W 0/1, A[i, l] = 1 iff local
+# DAG edge i->l, both in N+(r)):
+#   k=3: count_r = Σ A                    (# local DAG edges)
+#   k=4: count_r = Σ A ⊙ (A @ A)          (DAG triangles i<j<l, counted once)
+#   k=5: count_r = Σ M ⊙ (M @ A) with M[(i,j), l] = A[i,j]·A[i,l]·A[j,l]
+#        (DAG 4-cliques i<j<m<l: M row (i,j) is the candidate set of the
+#        partial clique {r,i,j}; the contraction supplies m and the
+#        elementwise mask supplies l).
 # This is where kClist's levels 3/2/1 (kernels/kclisting.h:92-146) go on a
 # TPU: the deepest, hottest levels become dense systolic-array work instead
-# of pointer-chasing recursion.
+# of pointer-chasing recursion. Shaping matters: stacking (i,j) into the
+# matmul's M dimension gives [G·W², W] x [W, W]-class contractions, which
+# this chip runs ~10x faster than many small batched [B, W, W] matmuls —
+# and degree-tiered root chunks (plan_tier_chunks) keep W at the tier's
+# max degree instead of the global one (cubic-cost padding, the r02
+# 478-second mistake).
 #
-# k=5: items are the DAG edges of the chunk (root r, local index i), with
-#      S = S0_r ∩ adj_r[i] — the edge-parallel strategy
-#      (parallelizationStrategy/parallelize.h:81-121) rather than
-#      node-parallel, so hub roots cannot serialize a chunk.
-# k=4: items are the roots themselves with S = S0_r.
-# k=3: Σ_i |S0 ∩ adj_i| — popcount only, no matmul needed.
+# Exactness: operands are 0/1 bf16; Q entries ≤ W ≤ 1024 accumulate in
+# f32 (< 2^24, integral); per-row Σ_l ≤ W² ≤ 2^20 stays exact in f32; the
+# cross-row reduction is int64.
 
 
-@functools.partial(jax.jit, static_argnames=("w_words", "k", "batch"))
-def kclique_mxu_chunk(nbr, chunk, item_r, item_i, *, w_words: int, k: int,
-                      batch: int):
-    """Count k-cliques (k in {3,4,5}) for one root chunk in ONE dispatch.
+@functools.partial(jax.jit,
+                   static_argnames=("w_words", "k", "group", "i_block"))
+def kclique_dense_chunk(nbr, chunk, *, w_words: int, k: int, group: int,
+                        i_block: int | None = None):
+    """Count k-cliques (k in {3,4,5}) rooted at `chunk` in ONE dispatch.
 
-    item_r/item_i: int32[Nitems] item arrays, padded to a batch multiple
-    (pad items carry r pointing at a pad root whose S0 is empty). For
-    k in {3, 4} item_i is ignored (items are roots).
+    chunk: int32[C] root ids (pad slots hold a pad id whose row is all
+    SENTINEL, contributing 0), C a multiple of `group`. For k=5 the W³
+    tensor M is built in `i_block`-row slices so wide tiers (W >= 512)
+    stay within a fixed working-set budget.
     """
     WW = w_words
     W = 32 * WW
     C = chunk.shape[0]
-    adj, S0 = build_local_adj(nbr, chunk, w_words=WW)
+    adj, _S0 = build_local_adj(nbr, chunk, w_words=WW)     # [C, W, WW]
+    if k == 3:
+        return jnp.sum(jax.lax.population_count(adj), dtype=jnp.int64)
+    if i_block is None:
+        i_block = W
+
     widx = jnp.arange(W, dtype=jnp.int32)
     shift = (widx & 31).astype(jnp.uint32)
     word = widx >> 5
@@ -320,58 +355,62 @@ def kclique_mxu_chunk(nbr, chunk, item_r, item_i, *, w_words: int, k: int,
         w = jnp.take(bits, word, axis=-1)
         return ((w >> shift) & 1).astype(jnp.bfloat16)
 
-    n_steps = item_r.shape[0] // batch
-    items = (item_r.reshape(n_steps, batch), item_i.reshape(n_steps, batch))
+    def step(total, bits):                                 # bits [G, W, WW]
+        A = unpack(bits)                                   # [G, W, W]
+        if k == 4:
+            Q = jax.lax.dot_general(
+                A, A, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)        # [G, W, W]
+            rows = jnp.sum(A.astype(jnp.float32) * Q, axis=2)
+            return total + jnp.sum(rows.astype(jnp.int64)), None
+        Asl = A.reshape(group, W // i_block, i_block, W).transpose(1, 0, 2, 3)
 
-    def step(total, it):
-        R, I = it
-        valid = I >= 0                                     # pad items: I == -1
-        Ic = jnp.maximum(I, 0)
-        S0r = jnp.take(S0, R, axis=0)                      # [B, WW]
-        if k >= 5:
-            rowRI = adj[R, Ic]                             # [B, WW]
-            S = S0r & rowRI
-        else:
-            S = S0r
-        S = jnp.where(valid[:, None], S, jnp.uint32(0))
-        rows = jnp.take(adj, R, axis=0)                    # [B, W, WW]
-        child = S[:, None, :] & rows
-        has = ((jnp.take(S, word, axis=1) >> shift[None, :]) & 1) == 1
-        if k == 3:
-            pc = jnp.sum(jax.lax.population_count(child), axis=2,
-                         dtype=jnp.int32)
-            cnt = jnp.sum(jnp.where(has, pc, 0), dtype=jnp.int64)
-            return total + cnt, None
-        M = unpack(child) * has[:, :, None].astype(jnp.bfloat16)  # [B, W, W]
-        A = unpack(rows)                                   # [B, W, W]
-        Q = jax.lax.dot_general(
-            M, A, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)            # [B, W, W]
-        per_item = jnp.sum(M.astype(jnp.float32) * Q, axis=(1, 2))  # exact
-        return total + jnp.sum(per_item.astype(jnp.int64)), None
+        def inner(tot, Ai):                                # [G, I, W]
+            M = (Ai[:, :, :, None] * Ai[:, :, None, :]) * A[:, None, :, :]
+            M = M.reshape(group, i_block * W, W)           # [(i,j) rows, l]
+            Q = jax.lax.dot_general(
+                M, A, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            rows = jnp.sum(M.astype(jnp.float32) * Q, axis=2)
+            return tot + jnp.sum(rows.astype(jnp.int64)), None
 
-    total, _ = jax.lax.scan(step, jnp.int64(0), items)
+        total, _ = jax.lax.scan(inner, total, Asl)
+        return total, None
+
+    total, _ = jax.lax.scan(
+        step, jnp.int64(0), adj.reshape(C // group, group, W, WW))
     return total
 
 
-def _chunk_edge_items(dag_deg: np.ndarray, chunk: np.ndarray, pad_id,
-                      batch: int, C: int):
-    """Host: (item_r, item_i) = every DAG edge of the chunk as (chunk slot,
-    local neighbor index), padded to a batch multiple — bulk numpy."""
-    deg = np.where(chunk == pad_id, 0, dag_deg[np.minimum(chunk, len(dag_deg) - 1)])
-    deg = deg.astype(np.int64)
-    total = int(deg.sum())
-    starts = np.zeros(C + 1, dtype=np.int64)
-    np.cumsum(deg, out=starts[1:])
-    item_r = np.repeat(np.arange(C, dtype=np.int32), deg)
-    item_i = (np.arange(total, dtype=np.int64)
-              - np.repeat(starts[:-1], deg)).astype(np.int32)
-    pad = (-total) % batch
-    if pad or total == 0:
-        pad = pad if total else batch
-        item_r = np.concatenate([item_r, np.zeros(pad, np.int32)])
-        item_i = np.concatenate([item_i, np.full(pad, -1, np.int32)])
-    return item_r, item_i
+def plan_tier_chunks(deg_all, roots_all, pad_id, *, root_chunk: int = 4096,
+                     mem_budget_words: int = 1 << 25, min_w: int = 32):
+    """Degree-tiered root chunks: yields (chunk int32[cmax] padded with
+    pad_id, w_words). Sorting roots by degree keeps the local width W (and
+    everything cubic in it) at the tier's max degree instead of the global
+    one — the TPU form of the reference's per-root subgraph sizing
+    (EppsteinSubGraphAdaptive.h boundary switch / SubGraphBuilder.h:24-60).
+    `mem_budget_words` caps the [C, W, W/32] local-adjacency build (whose
+    scan stack makes the true peak ~2x this)."""
+    order = np.argsort(deg_all[roots_all], kind="stable")
+    roots_sorted = roots_all[order]
+    start = 0
+    while start < len(roots_sorted):
+        d0 = int(deg_all[roots_sorted[start]])
+        W = max(min_w, 1 << int(np.ceil(np.log2(max(d0, 1)))))
+        WW = W // 32
+        cmax = max(1, min(root_chunk,
+                          1 << int(np.log2(max(mem_budget_words // (W * WW),
+                                               1)))))
+        stop = start
+        while stop < len(roots_sorted) and stop - start < cmax and \
+                deg_all[roots_sorted[stop]] <= W:
+            stop += 1
+        chunk = roots_sorted[start:stop]
+        start = stop
+        if len(chunk) < cmax:
+            chunk = np.concatenate(
+                [chunk, np.full(cmax - len(chunk), pad_id, dtype=np.int32)])
+        yield chunk, WW
 
 
 # ---------------------------------------------------------------------------
@@ -417,30 +456,21 @@ def kclique_count(
     dag_deg = np.asarray(dag.degrees)
 
     if k <= 5:
-        # MXU path: all chunk scans enqueued, ONE fetch at the end
-        if batch is None:
-            # [B, W, W] bf16 unpack tensors ~2*B*W^2 bytes; target ~64MB
-            batch = max(32, _bucket((1 << 25) // max(W * W, 1)) // 2)
+        # dense MXU path over degree-tiered chunks: all chunk scans
+        # enqueued, ONE fetch at the end
+        ME = 1 << 24  # per-step M-tensor element budget (32MB bf16)
         results = []
-        for start in range(0, len(roots), root_chunk):
-            chunk = roots[start : start + root_chunk]
-            if len(chunk) < root_chunk:
-                chunk = np.concatenate(
-                    [chunk, np.full(root_chunk - len(chunk), pad_id,
-                                    dtype=np.int32)])
-            if k == 5:
-                item_r, item_i = _chunk_edge_items(
-                    dag_deg, chunk, pad_id, batch, root_chunk)
-            else:
-                item_r = np.arange(root_chunk, dtype=np.int32)
-                item_i = np.zeros(root_chunk, dtype=np.int32)
-                pad = (-root_chunk) % batch
-                if pad:
-                    item_r = np.concatenate([item_r, np.zeros(pad, np.int32)])
-                    item_i = np.concatenate([item_i, np.full(pad, -1, np.int32)])
-            results.append(kclique_mxu_chunk(
-                nbr, jnp.asarray(chunk), jnp.asarray(item_r),
-                jnp.asarray(item_i), w_words=WW, k=k, batch=batch))
+        for chunk, tWW in plan_tier_chunks(dag_deg, roots, pad_id,
+                                           root_chunk=root_chunk):
+            tW = 32 * tWW
+            group = batch if batch is not None else max(1, ME // tW**3)
+            group = int(np.gcd(group, len(chunk)))
+            i_block = tW
+            while k == 5 and group * i_block * tW * tW > 2 * ME:
+                i_block //= 2
+            results.append(kclique_dense_chunk(
+                nbr, jnp.asarray(chunk), w_words=tWW, k=k, group=group,
+                i_block=i_block))
         return int(sum(int(t) for t in results))
 
     # k >= 6: fused device work-stack (whole DFS per chunk in one dispatch)

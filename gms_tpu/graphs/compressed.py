@@ -193,6 +193,73 @@ def _induce_rows(g: CSRGraph, vids: np.ndarray) -> CSRGraph:
     return CSRGraph(indptr, g.indices[pos].astype(np.int32), directed=True)
 
 
+class KbitWeightedGraph:
+    """Weighted k-bit adjacency (Kbit_Weighted_Adjacency_Array role,
+    gapbs/builder.h:440,488 csrToKbitWeighted*; log_graph/
+    kbit_adjacency_array.h weighted variants).
+
+    Two packed planes sharing slot order: neighbor ids at ceil(log2 n) bits
+    and weights at ceil(log2 (wmax+1)) bits — both decoded fully vectorized
+    on device, so weighted kernels (SSSP) compute straight from the
+    compressed form. Planes are separate (rather than the reference's
+    interleaved tokens) so each keeps its minimal width without a 32-bit
+    combined-token ceiling."""
+
+    def __init__(self, ids: KbitGraph, wplane, kw: int):
+        self.ids = ids
+        self.wplane = wplane      # uint32[V_pad, Ww]
+        self.kw = kw
+        self.num_nodes = ids.num_nodes
+        self.num_edges = ids.num_edges
+
+    @classmethod
+    def from_csr(cls, g: CSRGraph, weights: np.ndarray | None = None,
+                 *, k: int | None = None) -> "KbitWeightedGraph":
+        if weights is None:
+            weights = (g.weights if g.weights is not None
+                       else np.ones(g.num_edges, dtype=np.int32))
+        ids = KbitGraph.from_csr(g, k=k)
+        kw = _bits_for(int(np.max(weights, initial=1)) + 1)
+        # weight rows laid out like the padded adjacency, then packed
+        V, D = np.asarray(ids.deg).shape[0], ids.d_pad
+        wrows = np.zeros((V, D), dtype=np.uint64)
+        deg = g.degrees.astype(np.int64)
+        rows = np.repeat(np.arange(g.num_nodes), deg)
+        offs = (np.arange(g.num_edges, dtype=np.int64)
+                - np.repeat(np.asarray(g.indptr[:-1], dtype=np.int64), deg))
+        wrows[rows, offs] = np.asarray(weights, dtype=np.uint64)
+        Ww = round_up(D * kw, 32) // 32
+        packed = np.zeros((V, Ww), dtype=np.uint32)
+        j = np.arange(D)
+        bitpos = j * kw
+        w0i, s = bitpos >> 5, (bitpos & 31).astype(np.uint64)
+        rix = np.repeat(np.arange(V), D).reshape(V, D)
+        np.bitwise_or.at(packed, (rix, np.broadcast_to(w0i, (V, D))),
+                         ((wrows << s) & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+        hi = s + np.uint64(kw) > 32
+        if hi.any():
+            sel = np.broadcast_to(hi, (V, D))
+            np.bitwise_or.at(
+                packed, (rix[sel], np.broadcast_to(w0i + 1, (V, D))[sel]),
+                (wrows >> (np.uint64(32) - s)).astype(np.uint32)[sel])
+        return cls(ids, jnp.asarray(packed), kw)
+
+    @property
+    def nbr(self):
+        return self.ids.nbr
+
+    def weight_rows(self):
+        """int32[V_pad, D_pad] per-slot weights (0 on padding)."""
+        vids = jnp.arange(self.wplane.shape[0], dtype=jnp.int32)
+        w = kbit_decode_rows(self.wplane, self.ids.deg, vids, k=self.kw,
+                             d_pad=self.ids.d_pad)
+        return jnp.where(w == SENTINEL, 0, w)  # pad slots -> weight 0
+
+    def bits_per_edge(self) -> float:
+        total = (self.ids.packed.size + self.wplane.size) * 32
+        return total / max(self.num_edges, 1)
+
+
 # ---------------------------------------------------------------------------
 # varint (delta + continuation bytes) — host storage codec
 # ---------------------------------------------------------------------------

@@ -67,6 +67,9 @@ class PaddedGraph:
             nbr[rows, offs] = g.indices
         deg_full = np.zeros(V, dtype=np.int32)
         deg_full[:n] = deg
+        from gms_tpu.harness import checks
+        if checks.paranoid():  # sanitizer-build analog (GMS_TPU_PARANOID=1)
+            checks.validate_padded(nbr, deg_full, n, name="PaddedGraph")
         return cls(jnp.asarray(nbr), jnp.asarray(deg_full), n, g.num_edges)
 
     def rows(self, vids):

@@ -158,11 +158,22 @@ def sharded_bron_kerbosch_count(
     pg = PaddedGraph.from_csr(g, lane=32)
     rank_pad = np.full(pg.v_pad + 1, np.int32(np.iinfo(np.int32).max))
     rank_pad[:n] = rank
-    chunks = bk._plan_root_chunks(
-        np.asarray(g.degrees), np.arange(n, dtype=np.int32), root_chunk,
-        np.int32(pg.v_pad))
-    return bk.bk_count_async(
-        np.asarray(pg.nbr), jnp.asarray(rank_pad), chunks, devices)
+    deg = np.asarray(g.degrees)
+    roots = np.arange(n, dtype=np.int32)
+    rk = np.asarray(rank)
+    e = g.edge_array()
+    core_bound = int(np.bincount(
+        e[:, 0][rk[e[:, 1]] > rk[e[:, 0]]], minlength=n).max(initial=1))
+    # hubs via the DAG-universe path (bron_kerbosch.py hub scheme)
+    hub_sel = deg[roots] > 2048
+    total = 0
+    if hub_sel.any():
+        total, _ = bk._bk_hub(g, rk, roots[hub_sel], collect=False)
+        roots = roots[~hub_sel]
+    chunks = bk._plan_root_chunks(deg, roots, root_chunk, np.int32(pg.v_pad))
+    return total + bk.bk_count_async(
+        np.asarray(pg.nbr), jnp.asarray(rank_pad), chunks, devices,
+        core_bound=core_bound)
 
 
 def sharded_pair_scores(mesh: Mesh, *, metric: str):

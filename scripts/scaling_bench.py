@@ -1,21 +1,28 @@
 """Multi-chip scaling-efficiency harness (SURVEY.md §7 step 8; BASELINE.md
 north star: >=80% linear scaling 1 -> N devices).
 
-Runs the TUNED sharded triangle plan (parallel/sharding.ShardedTrianglePlan —
-the same 2-D compare tiers + grouped hub-prefix kernels as the single-chip
-flagship) on meshes of 1, 2, 4, ... N devices over the SAME total workload
-(strong scaling) and reports throughput + parallel efficiency per mesh size,
-plus the per-shard modeled-work balance (the padding/skew overhead that eats
-efficiency on power-law graphs).
+Three suites over a mesh of 1, 2, 4, ... N devices:
 
-On a real pod slice run as-is (devices = jax.devices()). Without one,
-`--virtual N` simulates N devices on CPU (xla_force_host_platform_device_count)
-— timings then measure sharding overhead, not real speedup, but the
-work-balance numbers and the compile/execute/collective path are the real
-ones. `--out FILE` writes the rows as JSON (the SCALING_r{N}.json artifact).
+  * strong: the TUNED sharded triangle plan (parallel/sharding.
+    ShardedTrianglePlan — same 2-D compare tiers + grouped hub-prefix
+    kernels as the single-chip flagship) on the SAME total workload.
+  * weak: per-device workload held constant (scale grows with the mesh:
+    RMAT scale base+log2(n), so edges/device ~ constant) — the regime a
+    pod actually runs in.
+  * memory: VertexShardedTrianglePlan — the adjacency table itself is
+    sharded (cyclic rows + ring ppermute streaming), proving per-chip HBM
+    drops ~1/N while the count stays exact.
+
+Efficiency evidence on a virtual CPU mesh: all N virtual devices share
+this host's cores, so measured wall-clock CANNOT show real speedup —
+`modeled_efficiency` (per-shard modeled gather bytes, mean/max — the
+fraction of linear scaling the work split itself permits) is the
+device-count-scaling evidence; wall-clock numbers are still recorded for
+dispatch-overhead tracking. On a real pod slice run as-is.
 
 Usage:
-    python scripts/scaling_bench.py [--scale 16] [--virtual 8] [--out SCALING.json]
+    python scripts/scaling_bench.py [--scale 17] [--virtual 8]
+        [--suites strong,weak,memory] [--out SCALING.json]
 """
 
 from __future__ import annotations
@@ -30,11 +37,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scale", type=int, default=16)
+    ap.add_argument("--scale", type=int, default=17)
     ap.add_argument("--deg", type=int, default=16)
+    ap.add_argument("--weak-base-scale", type=int, default=14)
     ap.add_argument("--virtual", type=int, default=0,
                     help="simulate N CPU devices (no real pod)")
     ap.add_argument("--trials", type=int, default=4)
+    ap.add_argument("--suites", type=str, default="strong,weak,memory")
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
 
@@ -55,39 +64,96 @@ def main() -> None:
 
     from gms_tpu.io.builder import build_csr
     from gms_tpu.io.generators import generate_rmat_el
-    from gms_tpu.parallel.sharding import ShardedTrianglePlan, make_mesh
-
-    g = build_csr(generate_rmat_el(args.scale, args.deg, seed=27491095),
-                  num_nodes=1 << args.scale)
+    from gms_tpu.parallel.sharding import (
+        ShardedTrianglePlan, VertexShardedTrianglePlan, make_mesh)
 
     devs = jax.devices()
     sizes = [s for s in (1, 2, 4, 8, 16, 32, 64) if s <= len(devs)]
-    base = None
-    rows = []
-    for n in sizes:
-        mesh = make_mesh(devices=np.array(devs[:n]))
-        plan = ShardedTrianglePlan(g, mesh)
-        tri, per_trial = plan.run_steady(args.trials)
-        eps = g.num_edges_undirected / per_trial
-        if base is None:
-            base = eps
-        work = plan.shard_work_model()
-        balance = float(work.min() / max(work.max(), 1))
-        rows.append({
-            "devices": n, "seconds": per_trial, "edges_per_sec": eps,
-            "speedup": eps / base, "efficiency": eps / base / n,
-            "shard_balance": balance, "triangles": tri,
-            "model_bytes_per_shard": work.tolist(),
-        })
-        print(f"@@@ scaling {n} {per_trial:.6f} {eps:.0f} "
-              f"{rows[-1]['efficiency']:.3f} {balance:.3f}")
+    suites = args.suites.split(",")
     out = {
-        "platform": jax.devices()[0].platform,
+        "platform": devs[0].platform,
         "virtual": args.virtual,
         "scale": args.scale,
         "degree": args.deg,
-        "rows": rows,
     }
+
+    def graph(scale):
+        return build_csr(generate_rmat_el(scale, args.deg, seed=27491095),
+                         num_nodes=1 << scale)
+
+    if "strong" in suites:
+        g = graph(args.scale)
+        base = None
+        rows = []
+        for n in sizes:
+            mesh = make_mesh(devices=np.array(devs[:n]))
+            plan = ShardedTrianglePlan(g, mesh)
+            tri, per_trial = plan.run_steady(args.trials)
+            eps = g.num_edges_undirected / per_trial
+            if base is None:
+                base = eps
+            work = plan.shard_work_model()
+            modeled = float(work.mean() / max(work.max(), 1))
+            rows.append({
+                "devices": n, "seconds": per_trial, "edges_per_sec": eps,
+                "speedup": eps / base, "efficiency": eps / base / n,
+                "modeled_efficiency": modeled, "triangles": tri,
+                "model_bytes_per_shard": work.tolist(),
+            })
+            print(f"@@@ strong {n} {per_trial:.6f} {eps:.0f} "
+                  f"{rows[-1]['efficiency']:.3f} modeled={modeled:.3f}")
+        out["strong"] = rows
+
+    if "weak" in suites:
+        rows = []
+        base = None
+        for n in sizes:
+            scale = args.weak_base_scale + int(np.log2(n))
+            g = graph(scale)
+            mesh = make_mesh(devices=np.array(devs[:n]))
+            plan = ShardedTrianglePlan(g, mesh)
+            tri, per_trial = plan.run_steady(args.trials)
+            eps = g.num_edges_undirected / per_trial
+            if base is None:
+                base = eps
+            work = plan.shard_work_model()
+            modeled = float(work.mean() / max(work.max(), 1))
+            rows.append({
+                "devices": n, "scale": scale, "seconds": per_trial,
+                "edges_per_sec": eps,
+                "weak_efficiency": eps / (base * n),
+                "modeled_efficiency": modeled, "triangles": tri,
+            })
+            print(f"@@@ weak {n} s={scale} {per_trial:.6f} {eps:.0f} "
+                  f"weak_eff={rows[-1]['weak_efficiency']:.3f} "
+                  f"modeled={modeled:.3f}")
+        out["weak"] = rows
+
+    if "memory" in suites:
+        g = graph(min(args.scale, 16))
+        rows = []
+        base_bytes = None
+        for n in sizes:
+            mesh = make_mesh(devices=np.array(devs[:n]))
+            plan = VertexShardedTrianglePlan(g, mesh)
+            tri, per_trial = plan.run_steady(max(args.trials // 2, 1))
+            work = plan.shard_work_model()
+            modeled = float(work.mean() / max(work.max(), 1))
+            if base_bytes is None:
+                base_bytes = plan.table_bytes_per_device
+            rows.append({
+                "devices": n, "seconds": per_trial, "triangles": tri,
+                "table_bytes_per_device": plan.table_bytes_per_device,
+                "table_shrink": base_bytes / plan.table_bytes_per_device,
+                "edge_bytes_per_device": plan.edge_bytes_per_device,
+                "modeled_efficiency": modeled,
+            })
+            print(f"@@@ memory {n} {per_trial:.6f} "
+                  f"table/dev={plan.table_bytes_per_device} "
+                  f"shrink={rows[-1]['table_shrink']:.2f}x "
+                  f"modeled={modeled:.3f}")
+        out["memory"] = rows
+
     print(json.dumps(out))
     if args.out:
         with open(args.out, "w") as f:

@@ -63,3 +63,26 @@ def test_empty_and_edgeless():
     g1 = build_csr(np.zeros((0, 2), dtype=np.int64), num_nodes=3)
     count, got = bk.bron_kerbosch(g1, collect=True)
     assert count == 3 and set(got) == {frozenset({v}) for v in range(3)}
+
+
+def test_hub_path_matches_oracle():
+    """Force the DAG-universe hub path (hub_threshold tiny) — counts and
+    enumerated sets must match the direct path and the host oracle
+    (VERDICT r03: the r02 worker crash came from degree-width tiers;
+    hubs now expand over N+(r) with a lower-neighbor maximality filter)."""
+    for n, p, seed in ((60, 0.25, 3), (120, 0.12, 4), (200, 0.08, 5)):
+        g = build_csr(random_graph(n, p, seed=seed), num_nodes=n)
+        want = bk.bron_kerbosch_simple(g)
+        got = bk.bron_kerbosch(g, hub_threshold=4)
+        assert got == len(want), (n, got, len(want))
+        cnt, cl = bk.bron_kerbosch(g, collect=True, hub_threshold=4)
+        assert cnt == len(want)
+        assert set(cl) == set(want)
+
+
+def test_hub_and_direct_split_agree():
+    # mixed: some roots through each path (threshold between min and max deg)
+    g = build_csr(random_graph(150, 0.15, seed=6), num_nodes=150)
+    want = len(bk.bron_kerbosch_simple(g))
+    thr = int(np.median(g.degrees))
+    assert bk.bron_kerbosch(g, hub_threshold=thr) == want

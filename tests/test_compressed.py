@@ -148,3 +148,43 @@ def test_triangle_count_dense_bitmap():
     for seed in range(3):
         g = build_csr(random_graph(90, 0.25, seed), num_nodes=90)
         assert triangle_count_dense(g, chunk=64) == triangle_count_oracle(g)
+
+
+def test_kbit_weighted_roundtrip_and_sssp():
+    # Kbit_Weighted_* role (builder.h:440,488): compressed ids + weights,
+    # SSSP computed straight from the packed planes.
+    import numpy as np
+    from gms_tpu.graphs.compressed import KbitWeightedGraph
+    from gms_tpu.algorithms import gapbs
+    from conftest import random_graph
+    from gms_tpu.io.builder import build_csr
+
+    g = build_csr(random_graph(80, 0.08, seed=9), num_nodes=80)
+    rng = np.random.default_rng(4)
+    w = rng.integers(1, 17, size=g.num_edges).astype(np.int32)
+    # weights must be symmetric for the undirected oracle comparison
+    e = g.edge_array()
+    key = {(min(a, b), max(a, b)): None for a, b in e}
+    sym = {k: int(rng.integers(1, 17)) for k in key}
+    w = np.array([sym[(min(a, b), max(a, b))] for a, b in e], np.int32)
+
+    kg = KbitWeightedGraph.from_csr(g, w)
+    # round-trip: decoded ids match padded rows; decoded weights match slots
+    import jax.numpy as jnp
+    rows = np.asarray(kg.nbr)[: g.num_nodes]
+    wr = np.asarray(kg.weight_rows())[: g.num_nodes]
+    deg = g.degrees
+    for v in (0, 7, 33, 79):
+        d = int(deg[v])
+        assert (rows[v, :d] == g.out_neigh(v)).all()
+        lo = int(g.indptr[v])
+        assert (wr[v, :d] == w[lo : lo + d]).all()
+    # footprint win is vs the padded int32 planes (2 x 32 bits/slot): the
+    # packed planes use k_id + k_w bits/slot
+    padded_bits = 2 * 32 * rows.size
+    packed_bits = 32 * (kg.ids.packed.size + kg.wplane.size)
+    assert packed_bits < padded_bits / 2
+
+    got = gapbs.sssp(kg, 0)
+    want = gapbs.sssp_oracle(g, 0, w)
+    np.testing.assert_array_equal(got, want)

@@ -45,3 +45,33 @@ def test_sharded_triangle_plan_matches_oracle():
         assert cnt == want
         work = plan.shard_work_model()
         assert len(work) == 8 and work.sum() > 0
+
+
+def test_vertex_sharded_plan_matches_oracle_and_scales_memory():
+    """Memory-scaling TC (VERDICT r02 item 3b): adjacency rows sharded over
+    the mesh (cyclic layout), v-rows streamed by ppermute — exact count AND
+    per-device table bytes ~ total/N."""
+    from gms_tpu.io.generators import generate_rmat_el
+    from gms_tpu.parallel.sharding import VertexShardedTrianglePlan, make_mesh
+
+    g = build_csr(generate_rmat_el(10, 8, seed=5), num_nodes=1 << 10)
+    want = tc.triangle_count_oracle(g)
+    per_dev = {}
+    for n in (1, 2, 8):
+        mesh = make_mesh(n)
+        plan = VertexShardedTrianglePlan(g, mesh, chunk=64)
+        assert plan.run() == want
+        per_dev[n] = plan.table_bytes_per_device
+    # the table shard shrinks ~1/N (padding allows slack)
+    assert per_dev[8] <= per_dev[1] / 4
+    assert per_dev[2] <= per_dev[1] / 1.8
+
+
+def test_vertex_sharded_plan_random_graphs():
+    from gms_tpu.parallel.sharding import VertexShardedTrianglePlan, make_mesh
+
+    mesh = make_mesh(4)
+    for n, p, seed in ((50, 0.3, 1), (111, 0.1, 2), (200, 0.05, 3)):
+        g = build_csr(random_graph(n, p, seed=seed))
+        plan = VertexShardedTrianglePlan(g, mesh, chunk=32)
+        assert plan.run() == tc.triangle_count_oracle(g)

@@ -127,3 +127,25 @@ def test_topq_matches_bruteforce():
     want = vs.vertex_similarity_oracle(g, np.array(cand), "common_neighbors")
     top = np.sort(want)[::-1][:q]
     np.testing.assert_allclose(np.sort(scores)[::-1], top.astype(np.float32))
+
+
+def test_topq_blockwise_multiblock_all_metrics():
+    # n > block so the streaming kernel crosses u-block and v-strip
+    # boundaries; every metric's top-q scores must match the oracle's.
+    n = 300
+    g = build_csr(random_graph(n, 0.04, 11), num_nodes=n)
+    q = 15
+    nbrs = [set(g.out_neigh(u).tolist()) for u in range(n)]
+    cand = np.array([(u, v) for u in range(n) for v in range(u + 1, n)
+                     if v not in nbrs[u]])
+    for metric in ("jaccard", "common_neighbors", "adamic_adar", "resource",
+                   "preferential_attachment"):
+        edges, scores = lp.link_prediction_similarity(
+            g, q, metric=metric, block=128)
+        want = vs.vertex_similarity_oracle(g, cand, metric)
+        top = np.sort(want)[::-1][:q]
+        np.testing.assert_allclose(np.sort(scores)[::-1],
+                                   top.astype(np.float32), rtol=2e-5)
+        # returned pairs really are non-edges with u < v
+        assert (edges[:, 0] < edges[:, 1]).all()
+        assert all(int(v) not in nbrs[int(u)] for u, v in edges)
