@@ -62,96 +62,106 @@ def _word_masks_below(i, ww: int):
 
 @functools.partial(jax.jit, static_argnames=("cap", "emit"))
 def bk_level(R, Cand, Fini, root_idx, adj, *, cap: int, emit: bool):
-    """One breadth-wise BK step over all items.
+    """One breadth-wise BK step over all items, in ONE vectorized block.
 
     R/Cand/Fini: uint32[N, WW]; root_idx: int32[N]; adj: uint32[C, W, WW].
     Liveness is root_idx >= 0; dead/padded slots (root_idx == -1) are inert.
 
-    Returns (n_maximal int64, out_roots, out_R, R', Cand', Fini', root', n_children).
-    When emit=False, out_roots/out_R are zero-size placeholders.
+    Returns (stats int64[3] = (n_maximal, n_children, child_sum_pc),
+    out_roots, out_R, R', Cand', Fini', root'). When emit=False,
+    out_roots/out_R are zero-size placeholders. Caller contract: total
+    children <= cap (budget-sliced frontiers guarantee it). child_sum_pc
+    (sum popcount of the child frontier) lets the host decide whether the
+    NEXT level needs slicing from two scalars instead of an [N]-vector
+    readback per level.
+
+    Layout/shape notes, learned the hard way on this chip (r02 -> r03):
+    scanning W sequential steps over [N, WW<=8] bitsets is lane-starved
+    and latency-bound (~1.3s/level); per-batch compaction paid cap-row
+    gathers per batch. Here items sit on the LANE axis, ALL W children of
+    ALL N items materialize as one [W, WW, N] block (callers size N per
+    tier so W*WW*N stays ~2^24 words), and ONE cumsum+searchsorted gather
+    compacts the level.
     """
     N, WW = Cand.shape
-    W = adj.shape[1]
-    live = root_idx >= 0
+    C, W, _ = adj.shape
+    below = _below_masks(W, WW)                            # [W, WW]
+    widx = np.arange(W)
+    onehot_np = np.zeros((W, WW), np.uint32)
+    onehot_np[widx, widx >> 5] = np.uint32(1) << (widx & 31)
+    onehot = jnp.asarray(onehot_np)
+    wword = jnp.asarray(widx >> 5)
+    wshift = jnp.asarray((widx & 31).astype(np.uint32))
 
-    cand_empty = jnp.all(Cand == 0, axis=1)
-    fini_empty = jnp.all(Fini == 0, axis=1)
+    CbT, FbT, RbT = Cand.T, Fini.T, R.T                    # [WW, N]
+    live = root_idx >= 0
+    rows = jnp.take(adj.reshape(C, W * WW),
+                    jnp.clip(root_idx, 0, C - 1), axis=0)  # [N, W*WW]
+    rows = jnp.transpose(rows.reshape(N, W, WW), (1, 2, 0))  # [W, WW, N]
+    cu = CbT | FbT
+    member = ((jnp.take(cu, wword, axis=0)
+               >> wshift[:, None]) & 1) == 1               # [W, N]
+    scores = jnp.sum(jax.lax.population_count(rows & CbT[None]),
+                     axis=1, dtype=jnp.int32)              # [W, N]
+    scores = jnp.where(member, scores, -1)
+    pivot = jnp.argmax(scores, axis=0).astype(jnp.int32)
+    # per-lane pivot row via masked reduction (a per-lane gather along the
+    # major axis lowers poorly)
+    pivot_mask = (jax.lax.broadcasted_iota(jnp.int32, (W, N), 0)
+                  == pivot[None, :])
+    prow = jnp.sum(jnp.where(pivot_mask[:, None, :], rows, 0), axis=0,
+                   dtype=jnp.uint32)                       # [WW, N]
+    cand_empty = jnp.all(CbT == 0, axis=0)
+    fini_empty = jnp.all(FbT == 0, axis=0)
     is_max = live & cand_empty & fini_empty
     n_maximal = jnp.sum(is_max, dtype=jnp.int64)
+    active = live & ~cand_empty
+    ext = jnp.where(active[None, :], CbT & ~prow, jnp.uint32(0))
+    has = ((jnp.take(ext, wword, axis=0)
+            >> wshift[:, None]) & 1) == 1                  # [W, N]
+    pb = ext[None, :, :] & below[:, :, None]               # [W, WW, N]
+    childC = (CbT[None] & ~pb) & rows
+    childF = (FbT[None] | pb) & rows
+    childR = RbT[None] | jnp.broadcast_to(
+        onehot[:, :, None], (W, WW, N)) * has[:, None, :].astype(jnp.uint32)
+    flat_ok = has.reshape(W * N)
+    cum = jnp.cumsum(flat_ok.astype(jnp.int32))
+    npush = cum[-1]
+    out_iota = jnp.arange(cap, dtype=jnp.int32)
+    src = jnp.minimum(jnp.searchsorted(cum, out_iota + 1, side="left"),
+                      W * N - 1)
+    keep = out_iota < npush
+
+    def compact(t):                                        # [W, WW, N]
+        # row-major gather: rows ordered (w, n) to match flat_ok
+        t2 = jnp.transpose(t, (0, 2, 1)).reshape(W * N, WW)
+        out = jnp.take(t2, src, axis=0)                    # [cap, WW]
+        return jnp.where(keep[:, None], out, 0)
+
+    C_out = compact(childC)
+    F_out = compact(childF)
+    R_out = compact(childR)
+    root_out = jnp.where(
+        keep,
+        jnp.take(jnp.broadcast_to(root_idx[None, :], (W, N)).reshape(W * N),
+                 src), -1)
+    n_children = jnp.minimum(npush, cap).astype(jnp.int64)
+    child_pc = jnp.sum(jax.lax.population_count(C_out), dtype=jnp.int64)
+    stats = jnp.stack([n_maximal, n_children, child_pc])
 
     if emit:
-        pos = jnp.cumsum(is_max.astype(jnp.int64)) - 1
-        dest = jnp.where(is_max, pos, N).astype(jnp.int64)
-        out_roots = jnp.full((N,), -1, jnp.int32).at[dest].set(root_idx, mode="drop")
-        out_R = jnp.zeros((N, WW), jnp.uint32).at[dest].set(R, mode="drop")
+        is_max_flat = is_max
+        ecum = jnp.cumsum(is_max_flat.astype(jnp.int32))
+        eiota = jnp.arange(N, dtype=jnp.int32)
+        esrc = jnp.minimum(jnp.searchsorted(ecum, eiota + 1, side="left"),
+                           N - 1)
+        ekeep = eiota < ecum[-1]
+        out_roots = jnp.where(ekeep, jnp.take(root_idx, esrc), -1)
+        out_R = jnp.where(ekeep[:, None], jnp.take(R, esrc, axis=0), 0)
     else:
         out_roots = jnp.zeros((0,), jnp.int32)
         out_R = jnp.zeros((0, WW), jnp.uint32)
-
-    active = live & ~cand_empty
-    adj_of = lambda i: jnp.take(
-        jnp.take(adj, i, axis=1), jnp.maximum(root_idx, 0), axis=0
-    )  # [N, WW] rows adj[root, i]
-
-    # --- Tomita pivot: argmax over u in cand ∪ fini of |cand ∩ adj[u]| ------
-    def pivot_step(carry, u):
-        best_score, best_u = carry
-        member = ((jnp.take(Cand | Fini, u >> 5, axis=1)
-                   >> (u & 31).astype(jnp.uint32)) & 1) == 1
-        score = jnp.sum(
-            jax.lax.population_count(Cand & adj_of(u)), axis=1, dtype=jnp.int32
-        )
-        score = jnp.where(member, score, -1)
-        better = score > best_score
-        return (jnp.where(better, score, best_score),
-                jnp.where(better, u, best_u)), None
-
-    (_, pivot), _ = jax.lax.scan(
-        pivot_step,
-        (jnp.full((N,), -1, jnp.int32), jnp.zeros((N,), jnp.int32)),
-        jnp.arange(W, dtype=jnp.int32),
-    )
-
-    # per-item row adj[root_idx[n], pivot[n], :] (advanced indexing, not take)
-    ext = Cand & ~adj[jnp.maximum(root_idx, 0), pivot]
-    ext = jnp.where(active[:, None], ext, jnp.uint32(0))
-
-    # --- children in local-index order ------------------------------------
-    R_out = jnp.zeros((cap, WW), jnp.uint32)
-    C_out = jnp.zeros((cap, WW), jnp.uint32)
-    F_out = jnp.zeros((cap, WW), jnp.uint32)
-    root_out = jnp.full((cap,), -1, jnp.int32)
-
-    def child_step(carry, i):
-        R_out, C_out, F_out, root_out, off = carry
-        in_ext = ((jnp.take(ext, i >> 5, axis=1)
-                   >> (i & 31).astype(jnp.uint32)) & 1) == 1
-        below = _word_masks_below(i, WW)                    # [WW]
-        processed = ext & below[None, :]
-        a_i = adj_of(i)
-        bit_i = (jnp.uint32(1) << (i & 31).astype(jnp.uint32))
-        w_i = i >> 5
-        onehot = jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, (WW,), 0) == w_i, bit_i, jnp.uint32(0)
-        )
-        childR = R | onehot[None, :]
-        childC = (Cand & ~processed) & a_i
-        childF = (Fini | processed) & a_i
-        pos = jnp.cumsum(in_ext.astype(jnp.int64)) - 1
-        dest = jnp.where(in_ext, off + pos, cap).astype(jnp.int64)
-        R_out = R_out.at[dest].set(childR, mode="drop")
-        C_out = C_out.at[dest].set(childC, mode="drop")
-        F_out = F_out.at[dest].set(childF, mode="drop")
-        root_out = root_out.at[dest].set(root_idx, mode="drop")
-        off = off + jnp.sum(in_ext, dtype=jnp.int64)
-        return (R_out, C_out, F_out, root_out, off), None
-
-    (R_out, C_out, F_out, root_out, n_children), _ = jax.lax.scan(
-        child_step,
-        (R_out, C_out, F_out, root_out, jnp.int64(0)),
-        jnp.arange(W, dtype=jnp.int32),
-    )
-    return n_maximal, out_roots, out_R, R_out, C_out, F_out, root_out, n_children
+    return stats, out_roots, out_R, R_out, C_out, F_out, root_out
 
 
 def _below_masks(W: int, WW: int):
@@ -474,25 +484,68 @@ def _hub_leaf_filter(M, wvalid, slots, Rbits):
     return ~jnp.any(cover, axis=1)
 
 
+def _indeg_sub_chunks(chunk, WW: int, indeg_all, pad_id,
+                      words_budget: int = 1 << 24):
+    """Split a tier chunk into sub-chunks bounded by the cover-matrix
+    budget C_sub · IN_pad · WW words (IN_pad = widest in-degree in the
+    sub-chunk; hubs have IN up to the max degree)."""
+    real = chunk[chunk != pad_id]
+    if not len(real):
+        return
+    order = np.argsort(indeg_all[real], kind="stable")
+    real = real[order]
+    ind = indeg_all[real]
+    s = 0
+    while s < len(real):
+        e = s + 1
+        while e < len(real):
+            inp = max(32, int(ind[e]))
+            if _bucket(e + 1 - s) * inp * WW > words_budget:
+                break
+            e += 1
+        size = _bucket(e - s)
+        sub = np.full(size, pad_id, np.int32)
+        sub[: e - s] = real[s:e]
+        yield sub
+        s = e
+
+
+@jax.jit
+def _live_pc(Cand, root_idx):
+    """[2, N] int32 (root_idx; popcount of Cand) — ONE host readback per
+    pop instead of two (each fetch pays the full tunnel round-trip)."""
+    pc = jnp.sum(jax.lax.population_count(Cand), axis=1, dtype=jnp.int32)
+    return jnp.stack([root_idx, pc])
+
+
 def _bk_hub(g: CSRGraph, rank: np.ndarray, hub_roots: np.ndarray, *,
-            collect: bool, collect_budget: int = 1 << 15,
-            leaf_batch: int = 4096):
+            collect: bool, collect_budget: int = 1 << 17,
+            leaf_batch: int = 8192, root_chunk: int = 4096):
     """Count (or enumerate) maximal cliques rooted at `hub_roots` via the
-    DAG-universe scheme above. Returns (count, cliques or None)."""
+    DAG-universe scheme above. Returns (count, cliques or None).
+
+    This is the MAIN single-chip BK path (not just hubs): every root's
+    expansion universe is its DAG out-neighborhood (W <= ~core number),
+    dispatches are budget-sliced breadth levels (bounded shapes — the
+    while_loop work stack faulted the TPU at scale 13+ and serialized
+    ~tree_size/batch tiny steps), and the lower-neighbor filter batches
+    on the MXU-friendly cover bitsets."""
     from gms_tpu.preprocessing import orient
     from gms_tpu.algorithms.k_clique import plan_tier_chunks
 
     dag = orient.orient(g, rank)
     dpg = PaddedGraph.from_csr(dag, lane=32)
     dag_deg = np.asarray(dag.degrees)
+    indeg_all = np.asarray(g.degrees) - dag_deg[: g.num_nodes]
     pad_id = np.int32(dpg.v_pad)
     dag_nbr = dpg.nbr
     dag_host = np.asarray(dpg.nbr) if collect else None
     total = 0
     cliques: list[frozenset] = [] if collect else None
 
-    for chunk, WW in plan_tier_chunks(dag_deg, hub_roots, pad_id,
-                                      root_chunk=32):
+    for tchunk, WW in plan_tier_chunks(dag_deg, hub_roots, pad_id,
+                                       root_chunk=root_chunk):
+      for chunk in _indeg_sub_chunks(tchunk, WW, indeg_all, pad_id):
         C = len(chunk)
         W = 32 * WW
         # lower-ranked neighbor lists (host bulk; hub in-degree is large)
@@ -503,7 +556,8 @@ def _bk_hub(g: CSRGraph, rank: np.ndarray, hub_roots: np.ndarray, *,
                 continue
             nb = g.out_neigh(int(r))
             wl.append(nb[rank[nb] < rank[int(r)]].astype(np.int32))
-        IN = max(32, int(max((len(x) for x in wl), default=1)))
+        IN = _bucket(max(32, int(max((len(x) for x in wl), default=1)))) \
+            if max((len(x) for x in wl), default=1) > 32 else 32
         IB = max(1, min(IN, (1 << 27) // max(C * W * dpg.d_pad, 1)))
         IN = -(-IN // IB) * IB
         wlists = np.full((C, IN), SENTINEL, np.int32)
@@ -516,41 +570,47 @@ def _bk_hub(g: CSRGraph, rank: np.ndarray, hub_roots: np.ndarray, *,
         adj, S0 = build_local_adj(dag_nbr, jnp.asarray(chunk), w_words=WW)
         adj = _symmetrize_bits(adj, w_words=WW)
         live0 = jnp.asarray(chunk) != pad_id
-        Cand = jnp.where(live0[:, None], S0, jnp.uint32(0))
+        # every frontier buffer is exactly [capB, WW], capB tier-sized so
+        # bk_level's [W, WW, capB] child block stays ~2^24 words: ONE
+        # compile per tier, one dispatch per level
+        capB = max(_bucket(C), min(1 << 19, (1 << 24) // max(W * WW, 1)))
+        budget = capB
+        padB = capB - C
+        Cand = jnp.concatenate([
+            jnp.where(live0[:, None], S0, jnp.uint32(0)),
+            jnp.zeros((padB, WW), jnp.uint32)])
         Fini = jnp.zeros_like(Cand)
         R = jnp.zeros_like(Cand)
-        root_idx = jnp.where(live0, jnp.arange(C, dtype=jnp.int32), -1)
-        budget = max(collect_budget, W)
-        stack = [(R, Cand, Fini, root_idx)]
+        root_idx = jnp.concatenate([
+            jnp.where(live0, jnp.arange(C, dtype=jnp.int32), -1),
+            jnp.full((padB,), -1, jnp.int32)])
+        spc0 = int(dag_deg[chunk[chunk != pad_id]].sum())
+        stack = [(R, Cand, Fini, root_idx, spc0)]
         while stack:
-            R, Cand, Fini, root_idx = stack.pop()
-            ri_host = np.asarray(root_idx)
-            idx_live = np.nonzero(ri_host >= 0)[0].astype(np.int32)
-            if not len(idx_live):
+            R, Cand, Fini, root_idx, spc = stack.pop()
+            if spc > budget:
+                # over-budget frontier: ONE vector readback, then slice
+                both = np.asarray(_live_pc(Cand, root_idx))
+                idx_live = np.nonzero(both[0] >= 0)[0].astype(np.int32)
+                if not len(idx_live):
+                    continue
+                pc = both[1][idx_live]
+                cum = np.cumsum(pc.astype(np.int64))
+                slices, s0, base = [], 0, 0
+                while s0 < len(idx_live):
+                    e = int(np.searchsorted(cum, base + budget, "right"))
+                    e = max(e, s0 + 1)
+                    slices.append((idx_live[s0:e], int(cum[e - 1]) - base))
+                    base = int(cum[e - 1])
+                    s0 = e
+                for sl, sl_pc in reversed(slices):
+                    stack.append(_take_item_rows(sl, R, Cand, Fini, root_idx,
+                                                 rows=capB) + (sl_pc,))
                 continue
-            pc = np.asarray(jnp.sum(jax.lax.population_count(Cand), axis=1,
-                                    dtype=jnp.int32))[idx_live]
-            cum = np.cumsum(pc.astype(np.int64))
-            compactable = _bucket(max(len(idx_live), 1)) < len(ri_host)
-            if int(cum[-1]) > budget or compactable:
-                if int(cum[-1]) > budget:
-                    slices, s0, base = [], 0, 0
-                    while s0 < len(idx_live):
-                        e = int(np.searchsorted(cum, base + budget, "right"))
-                        e = max(e, s0 + 1)
-                        slices.append(idx_live[s0:e])
-                        base = int(cum[e - 1])
-                        s0 = e
-                else:
-                    slices = [idx_live]
-                for sl in reversed(slices):
-                    stack.append(_take_item_rows(sl, R, Cand, Fini, root_idx))
-                continue
-            cap = _bucket(max(int(cum[-1]), 1))
-            (n_max, out_roots, out_R, R2, C2, F2, ri2, n_child) = bk_level(
-                R, Cand, Fini, root_idx, adj, cap=cap, emit=True
+            (stats, out_roots, out_R, R2, C2, F2, ri2) = bk_level(
+                R, Cand, Fini, root_idx, adj, cap=capB, emit=True
             )
-            nm = int(n_max)
+            nm, n_child, child_pc = (int(x) for x in np.asarray(stats))
             if nm:
                 orr = np.asarray(out_roots)[:nm]
                 orR = np.asarray(out_R)[:nm]
@@ -580,16 +640,19 @@ def _bk_hub(g: CSRGraph, rank: np.ndarray, hub_roots: np.ndarray, *,
                                     members.add(int(row[w * 32 + b]))
                                     word &= word - 1
                             cliques.append(frozenset(members))
-            if int(n_child) > 0:
-                stack.append((R2, C2, F2, ri2))
+            if n_child > 0:
+                stack.append((R2, C2, F2, ri2, child_pc))
     return total, cliques
 
 
-def _take_item_rows(ids: np.ndarray, R, Cand, Fini, root_idx):
-    """Gather live item rows `ids` into a fresh bucketed-capacity buffer
-    (pad slots dead: root_idx == -1) — keeps collect-mode frontiers compact
-    and level shapes power-of-two."""
-    m = _bucket(max(len(ids), 1))
+def _take_item_rows(ids: np.ndarray, R, Cand, Fini, root_idx,
+                    rows: int | None = None):
+    """Gather live item rows `ids` into a fresh buffer of `rows` slots
+    (default: bucketed to a power of two; pad slots dead: root_idx == -1).
+    A FIXED `rows` keeps every bk_level dispatch the same shape — variable
+    slice lengths compiled a fresh executable per (N, cap) pair and made
+    compile time dominate BK wall-clock on the tunnel-attached chip."""
+    m = rows if rows is not None else _bucket(max(len(ids), 1))
     sel = np.zeros(m, np.int32)
     sel[: len(ids)] = ids
     live = np.zeros(m, bool)
@@ -609,8 +672,9 @@ def bron_kerbosch(
     root_chunk: int = DEFAULT_ROOT_CHUNK,
     collect: bool = False,
     roots: np.ndarray | None = None,
-    collect_budget: int = 1 << 15,
+    collect_budget: int = 1 << 17,
     hub_threshold: int = 2048,
+    direct: bool = False,
 ):
     """Enumerate/count all maximal cliques of the undirected graph g.
 
@@ -652,9 +716,16 @@ def bron_kerbosch(
                  else np.asarray(roots, dtype=np.int32))
     deg_all = g.degrees
 
-    # power-law hubs go through the DAG-universe path (W bounded by the
-    # core number instead of the degree — the r02 worker-crash fix);
-    # everything else keeps the direct cand/fini expansion
+    # ALL roots go through the DAG-universe path (expansion width bounded
+    # by the core number, budget-sliced breadth dispatches, lower-neighbor
+    # maximality filter). `hub_threshold` is kept for the direct cand/fini
+    # variant below (`direct=True` exercises it — and multi-device fan-out
+    # in parallel/multi.py still uses bk_count_async).
+    if not direct:
+        t, cl = _bk_hub(g, np.asarray(rank), roots_all, collect=collect,
+                        collect_budget=collect_budget)
+        return (t, cl) if collect else t
+
     hub_sel = deg_all[roots_all] > hub_threshold
     hub_roots = roots_all[hub_sel]
     roots_all = roots_all[~hub_sel]
@@ -668,8 +739,8 @@ def bron_kerbosch(
             total += hub_total
 
     if not collect:
-        # count mode: one device dispatch per chunk (bk_count_chunk), all
-        # chunks enqueued before any result is fetched
+        # direct count mode: one device dispatch per chunk
+        # (bk_count_chunk), waves enqueued before results are fetched
         e = g.edge_array()
         rk = np.asarray(rank)
         higher = rk[e[:, 1]] > rk[e[:, 0]]
@@ -721,9 +792,10 @@ def bron_kerbosch(
                     stack.append(_take_item_rows(sl, R, Cand, Fini, root_idx))
                 continue
             cap = _bucket(max(int(cum[-1]), 1))
-            (n_max, out_roots, out_R, R2, C2, F2, ri2, n_child) = bk_level(
+            (stats, out_roots, out_R, R2, C2, F2, ri2) = bk_level(
                 R, Cand, Fini, root_idx, adj, cap=cap, emit=True
             )
+            n_max, n_child, _cpc = (int(x) for x in np.asarray(stats))
             total += int(n_max)
             if int(n_max):
                 orr = np.asarray(out_roots)[: int(n_max)]

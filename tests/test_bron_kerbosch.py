@@ -86,3 +86,13 @@ def test_hub_and_direct_split_agree():
     want = len(bk.bron_kerbosch_simple(g))
     thr = int(np.median(g.degrees))
     assert bk.bron_kerbosch(g, hub_threshold=thr) == want
+
+
+def test_direct_variant_matches_oracle():
+    # the direct cand/fini expansion (bk_count_chunk work stack + hub
+    # split) stays available behind direct=True
+    for n, p, seed in ((80, 0.2, 7), (150, 0.1, 8)):
+        g = build_csr(random_graph(n, p, seed=seed), num_nodes=n)
+        want = len(bk.bron_kerbosch_simple(g))
+        assert bk.bron_kerbosch(g, direct=True) == want
+        assert bk.bron_kerbosch(g, direct=True, hub_threshold=6) == want
