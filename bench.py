@@ -2,7 +2,7 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
 headline metric (triangle-count edges/sec), plus one comment line per extra
-metric (k-clique k=5, Bron-Kerbosch) on stderr.
+metric (k-clique k=5, Bron-Kerbosch, k-clique-star) on stderr.
 
 Protocol mirrors the reference's BenchmarkKernelBk split
 (gms/common/benchmark.h:96-133): graph build + plan prep are untimed
@@ -13,30 +13,48 @@ paid once, not per trial (each trial is still a full re-execution: the work
 arrays are rotated by a shift derived from the previous trial's count, and
 all counts are asserted identical).
 
+Robustness (VERDICT r03 item 3): every extra metric runs in its OWN
+subprocess under a hard time box (BENCH_EXTRA_BUDGET seconds, default 900)
+and `BENCH_extra.json` is rewritten after EACH metric — a hung kernel can
+no longer take down the whole artifact or leave a stale file behind. The
+r03 bench died at rc=124 because BK at scale 16 had no time box.
+
 Baseline: the reference publishes no numbers (BASELINE.md). If
 `baseline_measured.json` exists at the repo root (written by
 scripts/measure_reference.py after building the C++ reference's benchmarks
 on this host), vs_baseline = ours / reference on the same graph.
 
 Roofline: the modeled HBM gather traffic of the TC plan is printed as
-achieved GB/s. Set BENCH_ROOFLINE=1 to also measure this device's stream
-bandwidth (chained xor-sum over a resident 256MB array) and report the
-kernel's fraction of it.
+achieved GB/s. Set BENCH_ROOFLINE=0 to skip measuring this device's stream
+bandwidth (chained xor-sum over a resident 256MB array).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 SCALE = int(os.environ.get("BENCH_SCALE", "18"))
 DEGREE = int(os.environ.get("BENCH_DEGREE", "16"))
 TRIALS = int(os.environ.get("BENCH_TRIALS", "32"))
 SEED = 27491095  # reference default (gapbs/util.h kRandSeed)
+
+# extra metrics: (name, default scale env-overridable)
+EXTRA_SCALES = {
+    "kclique5": int(os.environ.get("BENCH_KCLIQUE_SCALE",
+                                   str(min(SCALE, 16)))),
+    "bron_kerbosch": int(os.environ.get("BENCH_BK_SCALE",
+                                        str(min(SCALE, 14)))),
+    "k_clique_star": int(os.environ.get("BENCH_STAR_SCALE",
+                                        str(min(SCALE, 12)))),
+}
+EXTRA_BUDGET = int(os.environ.get("BENCH_EXTRA_BUDGET", "900"))
 
 
 def _stream_bandwidth(reps: int = 64) -> float:
@@ -71,17 +89,12 @@ def _stream_bandwidth(reps: int = 64) -> float:
 def main() -> None:
     import jax
 
-    # one-time compiles dominate cold wall-clock on the tunnel-attached
-    # chip; persist them so repeated driver runs skip straight to execution
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/jax"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
     from gms_tpu.algorithms.triangle_count import TrianglePlan
     from gms_tpu.io.builder import build_csr
     from gms_tpu.io.generators import generate_rmat_el
 
-    g = build_csr(generate_rmat_el(SCALE, DEGREE, seed=SEED), num_nodes=1 << SCALE)
+    g = build_csr(generate_rmat_el(SCALE, DEGREE, seed=SEED),
+                  num_nodes=1 << SCALE)
     plan = TrianglePlan(g)
 
     tri, per_trial = plan.run_steady(TRIALS)
@@ -95,16 +108,11 @@ def main() -> None:
         bw = _stream_bandwidth()
         roof += f" stream_peak={bw:.0f}GB/s frac={gb/per_trial/bw:.0%}"
 
+    ref = _load_baseline()
     vs_baseline = None
-    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "baseline_measured.json")
-    ref = {}
-    if os.path.exists(ref_path):
-        with open(ref_path) as f:
-            ref = json.load(f)
-        key = f"tc_rmat{SCALE}_edges_per_sec"
-        if ref.get(key, 0) > 0:
-            vs_baseline = edges_per_sec / ref[key]
+    key = f"tc_rmat{SCALE}_edges_per_sec"
+    if ref.get(key, 0) > 0:
+        vs_baseline = edges_per_sec / ref[key]
 
     print(json.dumps({
         "metric": f"tc_rmat{SCALE}_throughput",
@@ -117,73 +125,100 @@ def main() -> None:
           f"{roof}", file=sys.stderr)
 
     if os.environ.get("BENCH_EXTRA", "1") != "0":
-        _extra_metrics(g, ref, scale=SCALE)
+        _extra_metrics()
 
 
-def _extra_metrics(g, ref, scale: int) -> None:
-    """k-clique (k=5) and Bron-Kerbosch throughput rows (BASELINE.md targets).
+def _load_baseline() -> dict:
+    path = os.path.join(REPO, "baseline_measured.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {}
 
-    Reported on stderr as comment lines so the driver's one-JSON-line
-    contract holds; recorded alongside in BENCH_extra.json. Run on a
-    capped-scale graph (BENCH_EXTRA_SCALE, default min(scale, 16)) so the
-    round bench stays bounded.
-    """
-    import numpy as np
 
+def _extra_metrics() -> None:
+    """k-clique(5), Bron-Kerbosch, and k-clique-star rows, each in its own
+    time-boxed subprocess; BENCH_extra.json rewritten after every metric."""
+    out_path = os.path.join(REPO, "BENCH_extra.json")
+    extra = {"scales": EXTRA_SCALES, "budget_seconds": EXTRA_BUDGET}
+    for name, scale in EXTRA_SCALES.items():
+        t0 = time.perf_counter()
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--extra", name,
+                 str(scale)],
+                capture_output=True, text=True, timeout=EXTRA_BUDGET)
+            last = [ln for ln in r.stdout.splitlines()
+                    if ln.startswith("{")]
+            if r.returncode == 0 and last:
+                extra[name] = json.loads(last[-1])
+            else:
+                extra[name] = {"error": f"rc={r.returncode}",
+                               "stderr_tail": r.stderr[-400:]}
+        except subprocess.TimeoutExpired:
+            extra[name] = {"error": f"timeout>{EXTRA_BUDGET}s",
+                           "seconds": time.perf_counter() - t0}
+        row = extra[name]
+        if "error" in row:
+            print(f"# {name} failed: {row['error']}", file=sys.stderr)
+        else:
+            print(f"# {name} count={row.get('count')} "
+                  f"time={row.get('seconds', 0):.2f}s "
+                  f"vs_baseline={row.get('vs_baseline')}", file=sys.stderr)
+        with open(out_path, "w") as f:  # incremental: survive later hangs
+            json.dump(extra, f, indent=1)
+
+
+def _run_extra(name: str, scale: int) -> dict:
+    """Child-process body: run one extra metric, print a JSON dict."""
     from gms_tpu.io.builder import build_csr
     from gms_tpu.io.generators import generate_rmat_el
 
-    xscale = int(os.environ.get("BENCH_EXTRA_SCALE", str(min(scale, 16))))
-    if xscale != scale:
-        g = build_csr(generate_rmat_el(xscale, DEGREE, seed=SEED),
-                      num_nodes=1 << xscale)
-    extra = {"scale": xscale}
-    try:
-        t0 = time.perf_counter()
+    ref = _load_baseline()
+    g = build_csr(generate_rmat_el(scale, DEGREE, seed=SEED),
+                  num_nodes=1 << scale)
+    if name == "kclique5":
         from gms_tpu.algorithms.k_clique import kclique_count
 
-        n5 = kclique_count(g, 5)
-        dt = time.perf_counter() - t0
-        extra["kclique5"] = {
-            "count": int(n5), "seconds": dt,
-            "cliques_per_sec": n5 / dt if dt else None,
-            "vs_baseline": (n5 / dt) / ref["kclique5_per_sec"]
-            if ref.get("kclique5_per_sec") else None,
-        }
-        print(f"# kclique5 count={n5} time={dt:.2f}s", file=sys.stderr)
-    except Exception as e:  # pragma: no cover
-        print(f"# kclique5 failed: {e}", file=sys.stderr)
-
-    try:
         t0 = time.perf_counter()
+        n = kclique_count(g, 5)
+        dt = time.perf_counter() - t0
+        base = (ref.get("kclique5_per_sec")
+                if ref.get("kclique5_scale") == scale else None)
+        return {"count": int(n), "seconds": dt, "scale": scale,
+                "cliques_per_sec": n / dt if dt else None,
+                "vs_baseline": (n / dt) / base if base else None}
+    if name == "bron_kerbosch":
         from gms_tpu.algorithms.bron_kerbosch import bron_kerbosch
 
-        nmc = bron_kerbosch(g, collect=False)
+        bron_kerbosch(g, roots=__import__("numpy").arange(64))  # warm compile
+        t0 = time.perf_counter()
+        n = bron_kerbosch(g)
         dt = time.perf_counter() - t0
-        if ref.get("bk_cliques_per_sec"):
-            vs = (nmc / dt) / ref["bk_cliques_per_sec"]
-        elif ref.get("bk_timeout_seconds"):
-            # reference never finished (baseline_measured.json bk_note):
-            # ratio vs its count/timeout upper bound — a LOWER bound on
-            # the true speedup
-            vs = ref["bk_timeout_seconds"] / dt
-        else:
-            vs = None
-        extra["bron_kerbosch"] = {
-            "count": int(nmc), "seconds": dt,
-            "cliques_per_sec": nmc / dt if dt else None,
-            "vs_baseline": vs,
-            "vs_baseline_is_lower_bound": not ref.get("bk_cliques_per_sec"),
-        }
-        print(f"# bron_kerbosch maximal={nmc} time={dt:.2f}s", file=sys.stderr)
-    except Exception as e:  # pragma: no cover
-        print(f"# bron_kerbosch failed: {e}", file=sys.stderr)
+        key = f"bk_scale{scale}_seconds"
+        base_s = ref.get(key)
+        return {"count": int(n), "seconds": dt, "scale": scale,
+                "cliques_per_sec": n / dt if dt else None,
+                "vs_baseline": base_s / dt if base_s else None}
+    if name == "k_clique_star":
+        from gms_tpu.algorithms.k_clique_star import kclique_star_list
 
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "BENCH_extra.json")
-    with open(out, "w") as f:
-        json.dump(extra, f, indent=1)
+        t0 = time.perf_counter()
+        n, star_total = kclique_star_list(g, 4, mode="count")
+        dt = time.perf_counter() - t0
+        base_s = ref.get(f"star4_scale{scale}_seconds")
+        return {"count": int(n), "star_total": int(star_total),
+                "seconds": dt, "scale": scale, "k": 4,
+                "stars_per_sec": n / dt if dt else None,
+                "vs_baseline": base_s / dt if base_s else None}
+    raise ValueError(name)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--extra":
+        print(json.dumps(_run_extra(sys.argv[2], int(sys.argv[3]))
+                         if len(sys.argv) > 3
+                         else _run_extra(sys.argv[2],
+                                         EXTRA_SCALES[sys.argv[2]])))
+    else:
+        main()

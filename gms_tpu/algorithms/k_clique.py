@@ -52,6 +52,28 @@ def _bucket(n: int) -> int:
     return 1 << max(8, int(np.ceil(np.log2(max(n, 1)))))
 
 
+def _cumsum_i32(x):
+    """Exact int32 prefix-sum of a 0/1 [N] array via two-level MXU
+    triangular matmuls. XLA's native 1-D cumsum lowers to ~15 shifted-add
+    passes over the whole array on this chip (~234us at N=32k, measured in
+    the r04 BK trace); two [*,128]x[128,128] f32 contractions are ~10x
+    cheaper and exact (partials <= N < 2^24)."""
+    N = x.shape[0]
+    LANE = 128
+    if N % LANE or N < 2 * LANE or N >= (1 << 24):
+        return jnp.cumsum(x.astype(jnp.int32))
+    R = N // LANE
+    xf = x.astype(jnp.float32).reshape(R, LANE)
+    triu = jnp.asarray(np.triu(np.ones((LANE, LANE), np.float32)))
+    row_cs = jax.lax.dot_general(
+        xf, triu, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # [R, LANE]
+    totals = row_cs[:, -1]
+    offs = jnp.concatenate([jnp.zeros(1, jnp.float32),
+                            jnp.cumsum(totals)[:-1]])
+    return (row_cs + offs[:, None]).reshape(N).astype(jnp.int32)
+
+
 # ---------------------------------------------------------------------------
 # device kernels
 # ---------------------------------------------------------------------------
@@ -355,13 +377,23 @@ def kclique_dense_chunk(nbr, chunk, *, w_words: int, k: int, group: int,
         w = jnp.take(bits, word, axis=-1)
         return ((w >> shift) & 1).astype(jnp.bfloat16)
 
+    # exactness: Q entries <= W accumulate exactly in f32 (< 2^24); the
+    # per-row Σ_l mask*Q is bounded by W² — exact in f32 only for W <= 4096,
+    # so wider tiers reduce via int32 products into an int64 sum instead
+    # (ADVICE r03: silent f32 exactness loss at W >= 8192)
+    def mask_dot_rows(Mk, Q):
+        if W <= 4096:
+            return jnp.sum(Mk.astype(jnp.float32) * Q, axis=2)
+        return jnp.sum(Mk.astype(jnp.int32) * Q.astype(jnp.int32),
+                       axis=2, dtype=jnp.int64)
+
     def step(total, bits):                                 # bits [G, W, WW]
         A = unpack(bits)                                   # [G, W, W]
         if k == 4:
             Q = jax.lax.dot_general(
                 A, A, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)        # [G, W, W]
-            rows = jnp.sum(A.astype(jnp.float32) * Q, axis=2)
+            rows = mask_dot_rows(A, Q)
             return total + jnp.sum(rows.astype(jnp.int64)), None
         Asl = A.reshape(group, W // i_block, i_block, W).transpose(1, 0, 2, 3)
 
@@ -371,7 +403,7 @@ def kclique_dense_chunk(nbr, chunk, *, w_words: int, k: int, group: int,
             Q = jax.lax.dot_general(
                 M, A, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)
-            rows = jnp.sum(M.astype(jnp.float32) * Q, axis=2)
+            rows = mask_dot_rows(M, Q)
             return tot + jnp.sum(rows.astype(jnp.int64)), None
 
         total, _ = jax.lax.scan(inner, total, Asl)
@@ -466,8 +498,9 @@ def kclique_count(
             group = batch if batch is not None else max(1, ME // tW**3)
             group = int(np.gcd(group, len(chunk)))
             i_block = tW
-            while k == 5 and group * i_block * tW * tW > 2 * ME:
-                i_block //= 2
+            while (k == 5 and i_block > 1
+                   and group * i_block * tW * tW > 2 * ME):
+                i_block //= 2  # clamped >= 1 (ADVICE r03: underflow to 0)
             results.append(kclique_dense_chunk(
                 nbr, jnp.asarray(chunk), w_words=tWW, k=k, group=group,
                 i_block=i_block))

@@ -87,41 +87,67 @@ def build_local_univ(nbr, rank_pad, roots, *, w_words: int):
 @functools.partial(jax.jit, static_argnames=("cap", "need"))
 def expand_star_level(S, I, R, root_idx, adj_full, adj_dag, *, cap: int, need: int):
     """One member choice for all items: child S' = S ∩ adj_dag[i],
-    I' = I ∩ adj_full[i], R' = R ∪ {i}; pruned on |S'| >= need."""
+    I' = I ∩ adj_full[i], R' = R ∪ {i}; pruned on |S'| >= need.
+
+    r04 rewrite (VERDICT r03 weak item 5): the old W-step sequential
+    lax.scan with per-step `.at[dest].set` scatters was the op this chip
+    executes worst. Now all W children of an item block materialize as ONE
+    dense [NB, W, WW] AND, compacted by an MXU prefix sum + one row
+    scatter per block — the `bk_fused_chunk` discipline. Blocks bound the
+    dense tensor to ~2^24 words; the scan carries only the output offset.
+    """
     N, WW = S.shape
-    W = adj_dag.shape[1]
+    C, W, _ = adj_dag.shape
+    NBLK = max(1, min(N, (1 << 24) // max(3 * W * WW, 1)))
+    while N % NBLK:
+        NBLK -= 1
+    widx = jnp.arange(W, dtype=jnp.int32)
+    wword = widx >> 5
+    wshift = (widx & 31).astype(jnp.uint32)
+    onehot_np = np.zeros((W, WW), np.uint32)
+    onehot_np[np.arange(W), np.arange(W) >> 5] = (
+        np.uint32(1) << (np.arange(W) & 31))
+    onehot = jnp.asarray(onehot_np)
+    BW = NBLK * W
+
     S_out = jnp.zeros((cap, WW), jnp.uint32)
     I_out = jnp.zeros((cap, WW), jnp.uint32)
     R_out = jnp.zeros((cap, WW), jnp.uint32)
     X_out = jnp.full((cap,), -1, jnp.int32)
-    ridx = jnp.maximum(root_idx, 0)
 
-    def step(carry, i):
+    from gms_tpu.algorithms.k_clique import _cumsum_i32
+
+    def step(carry, blk):
         S_out, I_out, R_out, X_out, off = carry
-        has = ((jnp.take(S, i >> 5, axis=1) >> (i & 31).astype(jnp.uint32)) & 1) == 1
-        a_dag = jnp.take(jnp.take(adj_dag, i, axis=1), ridx, axis=0)
-        a_full = jnp.take(jnp.take(adj_full, i, axis=1), ridx, axis=0)
-        childS = S & a_dag
-        childI = I & a_full
-        bit = (jnp.uint32(1) << (i & 31).astype(jnp.uint32))
-        onehot = jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, (WW,), 0) == (i >> 5),
-            bit, jnp.uint32(0))
-        childR = R | onehot[None, :]
-        pc = jnp.sum(jax.lax.population_count(childS), axis=1, dtype=jnp.int32)
-        ok = has & (pc >= need)
-        pos = jnp.cumsum(ok.astype(jnp.int64)) - 1
-        dest = jnp.where(ok, off + pos, cap).astype(jnp.int64)
-        S_out = S_out.at[dest].set(childS, mode="drop")
-        I_out = I_out.at[dest].set(childI, mode="drop")
-        R_out = R_out.at[dest].set(childR, mode="drop")
-        X_out = X_out.at[dest].set(root_idx, mode="drop")
-        off = off + jnp.sum(ok, dtype=jnp.int64)
-        return (S_out, I_out, R_out, X_out, off), None
+        Sb, Ib, Rb, rootb = blk                              # [NB, ...]
+        ridx = jnp.clip(rootb, 0, C - 1)
+        rows_dag = jnp.take(adj_dag, ridx, axis=0)           # [NB, W, WW]
+        rows_full = jnp.take(adj_full, ridx, axis=0)
+        has = ((jnp.take(Sb, wword, axis=1)
+                >> wshift[None, :]) & 1) == 1                # [NB, W]
+        childS = Sb[:, None, :] & rows_dag
+        childI = Ib[:, None, :] & rows_full
+        childR = Rb[:, None, :] | onehot[None, :, :]
+        pc = jnp.sum(jax.lax.population_count(childS), axis=2,
+                     dtype=jnp.int32)
+        ok = has & (pc >= need) & (rootb >= 0)[:, None]
+        flat = ok.reshape(BW)
+        cum = _cumsum_i32(flat)
+        dest = jnp.where(flat, off + cum - 1, jnp.int32(cap))
+        S_out = S_out.at[dest].set(childS.reshape(BW, WW), mode="drop")
+        I_out = I_out.at[dest].set(childI.reshape(BW, WW), mode="drop")
+        R_out = R_out.at[dest].set(childR.reshape(BW, WW), mode="drop")
+        X_out = X_out.at[dest].set(
+            jnp.broadcast_to(rootb[:, None], (NBLK, W)).reshape(BW),
+            mode="drop")
+        return (S_out, I_out, R_out, X_out, off + cum[-1]), None
 
+    blocks = (S.reshape(N // NBLK, NBLK, WW),
+              I.reshape(N // NBLK, NBLK, WW),
+              R.reshape(N // NBLK, NBLK, WW),
+              root_idx.reshape(N // NBLK, NBLK))
     (S_out, I_out, R_out, X_out, n), _ = jax.lax.scan(
-        step, (S_out, I_out, R_out, X_out, jnp.int64(0)),
-        jnp.arange(W, dtype=jnp.int32))
+        step, (S_out, I_out, R_out, X_out, jnp.int32(0)), blocks)
     return S_out, I_out, R_out, X_out, n
 
 

@@ -104,6 +104,32 @@ def test_bk_scale11_vs_host_and_scale12_sharded():
 
 
 @slow
+def test_bk_bench_density_scale12_deg16():
+    """Bench-density BK (scale 12 / deg 16): the r02/r03 TPU-worker crash
+    class lived exactly here and was invisible to the deg 6-8 soak
+    (VERDICT r03 weak item 2). Pins the fused path's absolute count
+    against the value verified vs the reference binary's BK_COUNT on this
+    workload, and the direct path + sharded fan-out against the fused
+    path."""
+    from gms_tpu.algorithms.bron_kerbosch import bron_kerbosch
+    from gms_tpu.parallel.multi import sharded_bron_kerbosch_count
+
+    g = rmat(12, 16)
+    fused = bron_kerbosch(g)
+    assert fused == 725641  # cross-checked vs /tmp/refbuild BK run (r04)
+    assert bron_kerbosch(g, direct=True) == fused
+    assert sharded_bron_kerbosch_count(g) == fused
+
+
+@slow
+def test_kclique_bench_density_scale12_deg16():
+    from gms_tpu.algorithms.k_clique import kclique_count, kclique_count_oracle
+
+    g = rmat(12, 16)
+    assert kclique_count(g, 5) == kclique_count_oracle(g, 5)
+
+
+@slow
 def test_per_vertex_tc_scale12_matches_total():
     from gms_tpu.algorithms.triangle_count import triangle_count_per_vertex
 
