@@ -248,6 +248,205 @@ class VertexShardedTrianglePlan:
         return self._model_bytes
 
 
+def _hash_owner_layout(nbr: np.ndarray, N: int):
+    """Hash-owner shard layout shared by the memory-scaling plans:
+    Fibonacci-hash each vertex id to an owner device (raw ids have biased
+    low bits on RMAT graphs), compact each owner's rows into a common
+    padded shard. Returns (table [N, Vs, D], owner_all, loc_all, Vs)."""
+    V_pad, D = nbr.shape
+    ids = np.arange(V_pad, dtype=np.uint64)
+    hsh = (ids * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+    owner_all = (hsh % np.uint64(N)).astype(np.int64)
+    vorder = np.argsort(owner_all, kind="stable")
+    counts_o = np.bincount(owner_all, minlength=N)
+    starts_o = np.concatenate([[0], np.cumsum(counts_o)[:-1]])
+    loc_all = np.empty(V_pad, np.int64)
+    loc_all[vorder] = np.arange(V_pad) - np.repeat(starts_o, counts_o)
+    Vs = round_up(int(counts_o.max(initial=1)), 8)
+    table = np.full((N * Vs, D), np.int32(SENTINEL))
+    table[owner_all * Vs + loc_all] = nbr
+    return (table.reshape(N, Vs, D), owner_all.astype(np.int32),
+            loc_all.astype(np.int32), Vs)
+
+
+class VertexShardedKCliquePlan:
+    """MEMORY-scaling multi-chip k-clique counting (k ∈ {3, 4, 5}).
+
+    Closes the r03 gap (VERDICT item 3): `sharded_kclique_count` shards
+    work but replicates the DAG table, so per-chip HBM never dropped on
+    the north-star path. Here the padded degeneracy-DAG adjacency is
+    hash-owner sharded exactly like `VertexShardedTrianglePlan`
+    (`_hash_owner_layout`), and each device counts the roots it owns. A
+    root's local adjacency needs the DAG rows of its out-neighbors, which
+    live on other shards — they stream around the ring: at rotation t the
+    visiting table shard (owner (me+t) mod N) contributes membership bits
+    for exactly the neighbors it owns, then `ppermute`s one hop; after N
+    rotations the [Rc, W, WW] local adjacency is complete and the MXU
+    counting contraction (k_clique.py `kclique_dense_chunk` math: k=4
+    Σ A⊙(A@A), k=5 Σ M⊙(M@A)) runs on it locally. Per-shard int64 counts
+    psum-reduce.
+
+    Per-chip memory: 2 table shards (own + visiting) + one root chunk's
+    local adjacency + the replicated owner/loc id maps (8 bytes/vertex) —
+    the full table never materializes on any chip.
+
+    Exactness: per-row f32 reductions stay integral for W <= 4096 (the
+    degeneracy-DAG width bound); wider graphs reduce via int32 → int64.
+    """
+
+    def __init__(self, g, mesh: Mesh, *, k: int = 5, rank=None,
+                 root_chunk: int = 64):
+        from gms_tpu.preprocessing import degeneracy, orient
+        from gms_tpu.graphs.tiles import PaddedGraph
+
+        if k not in (3, 4, 5):
+            raise ValueError("VertexShardedKCliquePlan supports k in {3,4,5}")
+        self.mesh = mesh
+        N = int(np.prod(mesh.devices.shape))
+        self.n_devices = N
+        if rank is None:
+            rank, _ = degeneracy.degeneracy_ordering_rank(g)
+        dag = orient.orient(g, rank)
+        pg = PaddedGraph.from_csr(dag, lane=32)
+        nbr = np.asarray(pg.nbr)
+        V_pad, D = nbr.shape
+        W = D
+        WW = W // 32
+        table, owner_all, loc_all, Vs = _hash_owner_layout(nbr, N)
+
+        deg = np.asarray(dag.degrees)
+        roots = np.nonzero(deg >= k - 1)[0].astype(np.int32)
+        own_of_root = owner_all[roots]
+        counts_r = np.bincount(own_of_root, minlength=N)
+        Rp = round_up(int(counts_r.max(initial=1)), root_chunk)
+        roots_pad = np.full((N, Rp), -1, np.int32)
+        for d in range(N):
+            mine = roots[own_of_root == d]
+            roots_pad[d, : len(mine)] = mine
+        Rc = root_chunk
+        IB = max(1, min(W, (1 << 24) // max(Rc * W * D, 1)))
+        while W % IB:
+            IB -= 1
+        SB = max(1, min(W, (1 << 22) // max(Rc * W * W, 1))) if k == 5 else W
+        while W % SB:
+            SB -= 1
+
+        self.table_bytes_per_device = int(table.nbytes) // N
+        self.idmap_bytes_per_device = int(owner_all.nbytes + loc_all.nbytes)
+        perm = [(i, (i - 1) % N) for i in range(N)]
+        weights = (np.uint32(1) << np.arange(32, dtype=np.uint32))
+
+        def body(tbl, roots_sh, owner_v, loc_v):
+            own = tbl[0]                                  # [Vs, D]
+            my_roots = roots_sh[0]                        # [Rp]
+            me = jax.lax.axis_index(WORK_AXIS)
+            wts = jnp.asarray(weights)
+            widx = jnp.arange(W, dtype=jnp.int32)
+            shift = (widx & 31).astype(jnp.uint32)
+
+            def unpack(bits):                             # [Rc, W, WW] -> bf16
+                w = jnp.take(bits, widx >> 5, axis=-1)
+                return ((w >> shift) & 1).astype(jnp.bfloat16)
+
+            def chunk_step(acc, rc_roots):                # [Rc] global ids
+                live = rc_roots >= 0
+                rloc = jnp.take(loc_v, jnp.maximum(rc_roots, 0))
+                r_nbr = jnp.take(own, jnp.clip(rloc, 0, Vs - 1), axis=0)
+                r_nbr = jnp.where(live[:, None], r_nbr, SENTINEL)
+                valid = r_nbr != SENTINEL                 # [Rc, W]
+                safe = jnp.minimum(r_nbr, jnp.int32(V_pad - 1))
+                nbr_owner = jnp.take(owner_v, safe)
+                nbr_loc = jnp.take(loc_v, safe)
+
+                def rot_step(rcarry, t):
+                    vis, adj = rcarry
+                    sel = valid & (nbr_owner == (me + t) % N)
+
+                    def mstep(_, s):
+                        cl = jax.lax.dynamic_slice(
+                            nbr_loc, (jnp.int32(0), s * IB), (Rc, IB))
+                        sl = jax.lax.dynamic_slice(
+                            sel, (jnp.int32(0), s * IB), (Rc, IB))
+                        rows = jnp.take(vis, jnp.clip(cl, 0, Vs - 1),
+                                        axis=0)           # [Rc, IB, D]
+                        eq = rows[:, :, None, :] == r_nbr[:, None, :, None]
+                        m = (jnp.any(eq, axis=3) & sl[:, :, None]
+                             & valid[:, None, :])         # [Rc, IB, W]
+                        packed = jnp.sum(
+                            m.reshape(Rc, IB, WW, 32).astype(jnp.uint32)
+                            * wts, axis=3, dtype=jnp.uint32)
+                        return None, packed
+
+                    _, blocks = jax.lax.scan(
+                        mstep, None, jnp.arange(W // IB, dtype=jnp.int32))
+                    contrib = jnp.transpose(
+                        blocks, (1, 0, 2, 3)).reshape(Rc, W, WW)
+                    adj = adj | contrib
+                    vis = jax.lax.ppermute(vis, WORK_AXIS, perm)
+                    return (vis, adj), None
+
+                adj0 = jnp.zeros((Rc, W, WW), jnp.uint32)
+                (_, adj), _ = jax.lax.scan(
+                    rot_step, (own, adj0), jnp.arange(N, dtype=jnp.int32))
+
+                if k == 3:
+                    return acc + jnp.sum(jax.lax.population_count(adj),
+                                         dtype=jnp.int64), None
+                A = unpack(adj)                           # [Rc, W, W]
+                if k == 4:
+                    Q = jax.lax.dot_general(
+                        A, A, (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32)
+                    if W <= 4096:
+                        rows_s = jnp.sum(A.astype(jnp.float32) * Q, axis=2)
+                    else:
+                        rows_s = jnp.sum(
+                            A.astype(jnp.int32) * Q.astype(jnp.int32),
+                            axis=2, dtype=jnp.int64)
+                    return acc + jnp.sum(rows_s.astype(jnp.int64)), None
+                Asl = A.reshape(Rc, W // SB, SB, W).transpose(1, 0, 2, 3)
+
+                def inner(tot, Ai):                       # [Rc, SB, W]
+                    M = (Ai[:, :, :, None] * Ai[:, :, None, :]
+                         ) * A[:, None, :, :]
+                    M = M.reshape(Rc, SB * W, W)
+                    Q = jax.lax.dot_general(
+                        M, A, (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32)
+                    if W <= 4096:
+                        rows_s = jnp.sum(M.astype(jnp.float32) * Q, axis=2)
+                    else:
+                        rows_s = jnp.sum(
+                            M.astype(jnp.int32) * Q.astype(jnp.int32),
+                            axis=2, dtype=jnp.int64)
+                    return tot + jnp.sum(rows_s.astype(jnp.int64)), None
+
+                acc, _ = jax.lax.scan(inner, acc, Asl)
+                return acc, None
+
+            acc0 = jax.lax.pcast(jnp.int64(0), (WORK_AXIS,), to="varying")
+            acc, _ = jax.lax.scan(chunk_step, acc0,
+                                  my_roots.reshape(Rp // Rc, Rc))
+            return jax.lax.psum(acc, WORK_AXIS)
+
+        self._fn = jax.jit(shard_map(
+            body, mesh=mesh,
+            in_specs=(P(WORK_AXIS, None, None), P(WORK_AXIS, None),
+                      P(None), P(None)),
+            out_specs=P(), check_vma=False))
+        self._args = (
+            jax.device_put(jnp.asarray(table),
+                           jax.sharding.NamedSharding(
+                               mesh, P(WORK_AXIS, None, None))),
+            jax.device_put(jnp.asarray(roots_pad),
+                           jax.sharding.NamedSharding(
+                               mesh, P(WORK_AXIS, None))),
+            jnp.asarray(owner_all), jnp.asarray(loc_all))
+
+    def run(self) -> int:
+        return int(self._fn(*self._args))
+
+
 class ShardedTrianglePlan:
     """The TUNED TrianglePlan (2-D compare tiers + grouped hub-prefix
     bitmaps, algorithms/triangle_count.py) over a device mesh — the same

@@ -31,6 +31,7 @@ import argparse
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -130,8 +131,10 @@ def main() -> None:
         out["weak"] = rows
 
     if "memory" in suites:
-        g = graph(min(args.scale, 16))
-        rows = []
+        mem_scale = min(args.scale, 16)
+        out["memory_scale"] = mem_scale  # ADVICE r03: record the actual
+        g = graph(mem_scale)             # scale the rows measured, not the
+        rows = []                        # CLI default
         base_bytes = None
         for n in sizes:
             mesh = make_mesh(devices=np.array(devs[:n]))
@@ -142,17 +145,45 @@ def main() -> None:
             if base_bytes is None:
                 base_bytes = plan.table_bytes_per_device
             rows.append({
-                "devices": n, "seconds": per_trial, "triangles": tri,
+                "devices": n, "scale": mem_scale, "seconds": per_trial,
+                "triangles": tri,
                 "table_bytes_per_device": plan.table_bytes_per_device,
                 "table_shrink": base_bytes / plan.table_bytes_per_device,
                 "edge_bytes_per_device": plan.edge_bytes_per_device,
                 "modeled_efficiency": modeled,
             })
-            print(f"@@@ memory {n} {per_trial:.6f} "
+            print(f"@@@ memory {n} s={mem_scale} {per_trial:.6f} "
                   f"table/dev={plan.table_bytes_per_device} "
                   f"shrink={rows[-1]['table_shrink']:.2f}x "
                   f"modeled={modeled:.3f}")
         out["memory"] = rows
+
+        # memory-scaling k-clique (VERDICT r03 item 5): table_bytes/device
+        # must drop ~1/N on the k-clique path too, with exact counts
+        from gms_tpu.parallel.sharding import VertexShardedKCliquePlan
+
+        gk = graph(min(args.scale, 13))
+        krows = []
+        kbase = None
+        for n in sizes:
+            mesh = make_mesh(devices=np.array(devs[:n]))
+            t0 = time.perf_counter()
+            plan = VertexShardedKCliquePlan(gk, mesh, k=5)
+            cnt = plan.run()
+            dt = time.perf_counter() - t0
+            if kbase is None:
+                kbase = plan.table_bytes_per_device
+            krows.append({
+                "devices": n, "scale": min(args.scale, 13), "k": 5,
+                "seconds": dt, "count": cnt,
+                "table_bytes_per_device": plan.table_bytes_per_device,
+                "table_shrink": kbase / plan.table_bytes_per_device,
+            })
+            print(f"@@@ memory_kclique {n} k=5 count={cnt} "
+                  f"table/dev={plan.table_bytes_per_device} "
+                  f"shrink={krows[-1]['table_shrink']:.2f}x")
+        assert len({r["count"] for r in krows}) == 1, krows
+        out["memory_kclique"] = krows
 
     print(json.dumps(out))
     if args.out:
