@@ -147,3 +147,43 @@ def test_adg_device_prob_boundaries():
             np.testing.assert_array_equal(r1, r2)
             assert sorted(r1.tolist()) == list(range(70))
             assert degeneracy.verify_approx_degeneracy_order(g, r1, 0.1)
+
+
+# ---- Danisch decrease-key peel variants (degeneracy_danisch.h:11-64,
+# util/OrderedCollection.h; unit surface of TrackingHeap_tests.h) ----
+
+def test_tracking_collections_unit():
+    from gms_tpu.preprocessing.ordered_collection import (
+        TrackingBubblingArray, TrackingHeap)
+
+    vals = np.array([5, 1, 4, 1, 3], np.int64)
+    for cls in (TrackingHeap, TrackingBubblingArray):
+        c = cls(vals)
+        assert len(c) == 5
+        assert all(c.index(k) != -1 for k in range(5))
+        # decrease-key then pop all: values come out non-decreasing and
+        # every key appears exactly once
+        c.decrease_key(0)          # 5 -> 4
+        c.decrease_key(0)          # 4 -> 3
+        got = [c.pop_head() for _ in range(5)]
+        keys = sorted(k for k, _ in got)
+        assert keys == [0, 1, 2, 3, 4]
+        vs = [v for _, v in got]
+        assert vs == sorted(vs)
+        assert dict(got)[0] == 3
+        assert c.index(got[0][0]) == -1
+
+
+@pytest.mark.parametrize("collection", ["heap", "bubble"])
+def test_danisch_degeneracy_matches_bz_peel(collection):
+    from gms_tpu.preprocessing.ordered_collection import (
+        degeneracy_ordering_rank_danisch)
+
+    for n, p, seed in ((40, 0.2, 1), (80, 0.1, 2), (120, 0.05, 3)):
+        g = build_csr(random_graph(n, p, seed=seed))
+        rank, core = degeneracy_ordering_rank_danisch(
+            g, collection=collection)
+        _, core_bz = dg.degeneracy_ordering_rank(g)
+        assert core == core_bz == naive_degeneracy(g)
+        assert dg.verify_degeneracy_order(g, rank)
+        assert sorted(rank.tolist()) == list(range(g.num_nodes))
