@@ -195,11 +195,16 @@ def _run_extra(name: str, scale: int) -> dict:
         t0 = time.perf_counter()
         n = bron_kerbosch(g)
         dt = time.perf_counter() - t0
-        key = f"bk_scale{scale}_seconds"
-        base_s = ref.get(key)
-        return {"count": int(n), "seconds": dt, "scale": scale,
-                "cliques_per_sec": n / dt if dt else None,
-                "vs_baseline": base_s / dt if base_s else None}
+        base_s = ref.get(f"bk_scale{scale}_seconds")
+        bound_s = ref.get(f"bk_scale{scale}_timeout_seconds")
+        row = {"count": int(n), "seconds": dt, "scale": scale,
+               "cliques_per_sec": n / dt if dt else None,
+               "vs_baseline": base_s / dt if base_s else (
+                   bound_s / dt if bound_s else None)}
+        if not base_s and bound_s:
+            # reference produced no row within bound_s on this workload
+            row["vs_baseline_is_lower_bound"] = True
+        return row
     if name == "k_clique_star":
         from gms_tpu.algorithms.k_clique_star import kclique_star_list
 

@@ -398,18 +398,25 @@ def _symmetrize_bits(adj, *, w_words: int):
 def _indeg_sub_chunks(chunk, WW: int, indeg_all, pad_id,
                       words_budget: int = 1 << 24):
     """Split a tier chunk into sub-chunks bounded by the cover-matrix
-    budget C_sub · IN_pad · WW words (IN_pad = widest in-degree in the
-    sub-chunk; hubs have IN up to the max degree)."""
+    budget C_sub · IN_pad · WW words AND grouped by in-degree bucket, so
+    IN_pad stays within 2x of every member's true in-degree. The grouping
+    matters for throughput, not just memory: the leaf maximality filter
+    pays IN_pad·WW words per leaf, so one hub in a chunk of low-indeg
+    roots used to tax EVERY leaf of the chunk at the hub's width (the r04
+    scale-13 flush regression)."""
     real = chunk[chunk != pad_id]
     if not len(real):
         return
     order = np.argsort(indeg_all[real], kind="stable")
     real = real[order]
-    ind = indeg_all[real]
+    ind = np.maximum(indeg_all[real], 1)
+    bucket_of = np.ceil(np.log2(np.maximum(ind, 32))).astype(np.int32)
     s = 0
     while s < len(real):
         e = s + 1
         while e < len(real):
+            if bucket_of[e] != bucket_of[s]:
+                break
             inp = max(32, int(ind[e]))
             if _bucket(e + 1 - s) * inp * WW > words_budget:
                 break
@@ -428,10 +435,11 @@ def _indeg_sub_chunks(chunk, WW: int, indeg_all, pad_id,
 
 @functools.partial(jax.jit, static_argnames=(
     "w_words", "cap", "batch", "push_cap", "leaf_cap", "in_block",
-    "out_cap"))
-def bk_fused_chunk(dag_nbr, chunk, M, wvalid, *, w_words: int, cap: int,
-                   batch: int, push_cap: int, leaf_cap: int, in_block: int,
-                   out_cap: int = 0):
+    "out_cap", "iter_budget", "resume"))
+def bk_fused_chunk(dag_nbr, chunk, M, wvalid, state, *, w_words: int,
+                   cap: int, batch: int, push_cap: int, leaf_cap: int,
+                   in_block: int, out_cap: int = 0,
+                   iter_budget: int = 1 << 30, resume: bool = False):
     """Count (out_cap=0) or enumerate (out_cap>0) the globally-maximal
     cliques rooted at `chunk`, entirely on device.
 
@@ -463,12 +471,22 @@ def bk_fused_chunk(dag_nbr, chunk, M, wvalid, *, w_words: int, cap: int,
     happens ONCE at the end over the leaf buffer, in 64k-row blocks bounded
     by the live count lp — no in-loop conditional.
 
-    Returns (total int64, overflow bool, n_iter int32) or, when
-    out_cap > 0, (total, overflow, out uint32[out_cap + FB, WW+1] — rows
-    of (Rbits | root-local idx), n_out int32, n_iter). `overflow` means
-    the stack, leaf buffer, or output exceeded capacity: results must be
-    discarded and the chunk split (count-then-emit — capacity is part of
-    the compiled shape, so overflow is a retry, never a wrong answer).
+    Returns (total int64, overflow bool, done bool, n_iter int32,
+    state = (STK, sp, OUT, op)); in enumerate mode (out_cap > 0) the OUT
+    rows [0:op) are (Rbits | root-local idx) for device decode. `overflow`
+    means the stack or output exceeded capacity: results must be discarded
+    and the chunk split (count-then-emit — capacity is part of the
+    compiled shape, so overflow is a retry, never a wrong answer).
+
+    RESUMABILITY (the r04 scale-14 fix): the axon TPU worker kills any
+    single device program running longer than ~60s (measured: a 61s
+    dispatch dies with "TPU worker process crashed", a 17s one survives —
+    this is the r02/r03 "crash class"). The outer loop therefore stops
+    after `iter_budget` pop rounds, flushes, and returns done=False with
+    the resume state; the caller re-dispatches with resume=True and
+    `state` until done. `total` accumulates ACROSS segments (pass the
+    previous total back via state[4]); leaves never persist across
+    segments (each segment ends flushed, lp = 0).
     """
     WW = w_words
     W = 32 * WW
@@ -496,42 +514,101 @@ def bk_fused_chunk(dag_nbr, chunk, M, wvalid, *, w_words: int, cap: int,
     Ms = M.reshape(C, NB, in_block, WW).transpose(1, 0, 2, 3)
     vs = wvalid.reshape(C, NB, in_block).transpose(1, 0, 2)
 
-    live0 = chunk != jnp.int32(dag_nbr.shape[0])  # pad slots hold v_pad
-    Cand0 = jnp.where(live0[:, None], S0, jnp.uint32(0))
-    c0e = jnp.all(Cand0 == 0, axis=1)
-    cidx = jnp.arange(C, dtype=jnp.int32)
+    if resume:
+        STK, n0, OUT0, op0, total0 = state
+        LBUF = jnp.zeros((lcap, LK), jnp.uint32)
+        nl0 = jnp.int32(0)
+    else:
+        del state
+        live0 = chunk != jnp.int32(dag_nbr.shape[0])  # pad slots = v_pad
+        Cand0 = jnp.where(live0[:, None], S0, jnp.uint32(0))
+        c0e = jnp.all(Cand0 == 0, axis=1)
+        cidx = jnp.arange(C, dtype=jnp.int32)
 
-    # stack init (one scatter): roots with work (cand nonempty)
-    init_ok = live0 & ~c0e
-    icum = jnp.cumsum(init_ok.astype(jnp.int32))
-    n0 = icum[-1]
-    STK = jnp.zeros((cap_total, K), jnp.uint32)
-    row0 = jnp.concatenate(
-        [Cand0, jnp.zeros((C, 2 * WW), jnp.uint32),
-         cidx.astype(jnp.uint32)[:, None]], axis=1)
-    STK = STK.at[_scatter_compact_dest(init_ok, icum, cap_total)].set(
-        row0, mode="drop")
+        # stack init (one scatter): roots with work (cand nonempty)
+        init_ok = live0 & ~c0e
+        icum = jnp.cumsum(init_ok.astype(jnp.int32))
+        n0 = icum[-1]
+        STK = jnp.zeros((cap_total, K), jnp.uint32)
+        row0 = jnp.concatenate(
+            [Cand0, jnp.zeros((C, 2 * WW), jnp.uint32),
+             cidx.astype(jnp.uint32)[:, None]], axis=1)
+        STK = STK.at[_scatter_compact_dest(init_ok, icum, cap_total)].set(
+            row0, mode="drop")
 
-    # leaf-buffer init: live roots with empty DAG rows are R = ∅ leaves
-    # ({r} is maximal iff no lower-ranked neighbor exists — the filter's
-    # R = ∅ case covers exactly that)
-    leaf0_ok = live0 & c0e
-    l0cum = jnp.cumsum(leaf0_ok.astype(jnp.int32))
-    nl0 = l0cum[-1]
-    LBUF = jnp.zeros((lcap, LK), jnp.uint32)
-    lrow0 = jnp.concatenate(
-        [jnp.zeros((C, WW), jnp.uint32), cidx.astype(jnp.uint32)[:, None]],
-        axis=1)
-    LBUF = LBUF.at[_scatter_compact_dest(leaf0_ok, l0cum, lcap)].set(
-        lrow0, mode="drop")
+        # leaf-buffer init: live roots with empty DAG rows are R = ∅
+        # leaves ({r} is maximal iff no lower-ranked neighbor exists —
+        # the filter's R = ∅ case covers exactly that)
+        leaf0_ok = live0 & c0e
+        l0cum = jnp.cumsum(leaf0_ok.astype(jnp.int32))
+        nl0 = l0cum[-1]
+        LBUF = jnp.zeros((lcap, LK), jnp.uint32)
+        lrow0 = jnp.concatenate(
+            [jnp.zeros((C, WW), jnp.uint32),
+             cidx.astype(jnp.uint32)[:, None]], axis=1)
+        LBUF = LBUF.at[_scatter_compact_dest(leaf0_ok, l0cum, lcap)].set(
+            lrow0, mode="drop")
+        OUT0 = jnp.zeros((ocap_total if emit else 0, LK), jnp.uint32)
+        op0 = jnp.int32(0)
+        total0 = jnp.int64(0)
 
-    def cond(st):
+    fiota = jnp.arange(FB, dtype=jnp.int32)
+
+    def flush(total, LBUF, lp, OUT, op, ovf):
+        """Lower-neighbor maximality filter over live leaves, in FB-row
+        blocks bounded by lp (work ∝ leaves produced, not capacity)."""
+
+        def fcond(fst):
+            return fst[0] * FB < lp
+
+        def fbody(fst):
+            fb, total, OUT, op, fovf = fst
+            blk = jax.lax.dynamic_slice(
+                LBUF, (fb * FB, jnp.int32(0)), (FB, LK))
+            LB = jax.lax.slice_in_dim(blk, 0, WW, axis=1)
+            LRc = jnp.clip(blk[:, WW].astype(jnp.int32), 0, C - 1)
+
+            def fstep(acc, mv):
+                Mb, vb = mv
+                Mg = jnp.take(Mb, LRc, axis=0)             # [FB, INb, WW]
+                vg = jnp.take(vb, LRc, axis=0)             # [FB, INb]
+                cov = jnp.all((LB[:, None, :] & ~Mg) == 0, axis=2) & vg
+                return acc | jnp.any(cov, axis=1), None
+
+            covered, _ = jax.lax.scan(
+                fstep, jnp.zeros((FB,), jnp.bool_), (Ms, vs))
+            ok = ~covered & (fb * FB + fiota < lp)
+            total = total + jnp.sum(ok, dtype=jnp.int64)
+            if emit:
+                fcum = _cumsum_i32(ok)
+                n_ok = fcum[-1]
+                dst = jnp.where(ok, jnp.minimum(op, out_cap) + fcum - 1,
+                                jnp.int32(ocap_total))
+                OUT = OUT.at[dst].set(blk, mode="drop")
+                op = op + n_ok
+                ovf_e = op > out_cap
+            else:
+                ovf_e = False
+            return (fb + 1, total, OUT, op, fovf | ovf_e)
+
+        fst = jax.lax.while_loop(
+            fcond, fbody, (jnp.int32(0), total, OUT, op, ovf))
+        _, total, OUT, op, ovf = fst
+        return total, OUT, op, ovf
+
+    def inner_cond(st):
         sp = st[1]
-        ovf = st[4]
-        return (sp > 0) & ~ovf
+        lp = st[3]
+        ovf = st[7]
+        n_it = st[8]
+        # stop before the leaf buffer could overflow (one more iteration
+        # appends at most PC rows, lcap = leaf_cap + PC) or the segment's
+        # pop-round budget runs out (axon ~60s per-dispatch watchdog)
+        return ((sp > 0) & ~ovf & (lp <= leaf_cap)
+                & (n_it < iter_budget))
 
     def body(st):
-        STK, sp, LBUF, lp, ovf, n_it = st
+        STK, sp, LBUF, lp, OUT, op, total, ovf, n_it = st
         rpos = jnp.arange(B, dtype=jnp.int32)
         idx = sp - 1 - rpos                                   # top-first
         inb = idx >= 0
@@ -608,7 +685,7 @@ def bk_fused_chunk(dag_nbr, chunk, M, wvalid, *, w_words: int, cap: int,
         n_leaf = lcum[-1]
         pcum = _cumsum_i32(push)
         n_push = pcum[-1]
-        ovf = ovf | (base + n_push > cap) | (lp + n_leaf > leaf_cap)
+        ovf = ovf | (base + n_push > cap)
         STK = STK.at[jnp.where(push, base + pcum - 1,
                                jnp.int32(cap_total))].set(
             child_blk, mode="drop")
@@ -616,55 +693,35 @@ def bk_fused_chunk(dag_nbr, chunk, M, wvalid, *, w_words: int, cap: int,
                                  jnp.int32(lcap))].set(
             jax.lax.slice_in_dim(child_blk, 2 * WW, K, axis=1),
             mode="drop")
-        return (STK, base + n_push, LBUF, lp + n_leaf, ovf, n_it + 1)
+        return (STK, base + n_push, LBUF, lp + n_leaf, OUT, op, total, ovf,
+                n_it + 1)
 
-    st = (STK, n0, LBUF, nl0, jnp.bool_(False), jnp.int32(0))
-    st = jax.lax.while_loop(cond, body, st)
-    _, _, LBUF, lp, ovf, n_iter = st
+    # outer loop: run the work stack until the leaf buffer is nearly full
+    # (or the segment budget runs out), flush the maximality filter,
+    # repeat — leaves can NEVER overflow, so a full chunk re-run on leaf
+    # overflow (the r04 scale-13 regression: whole-chunk splits repeated
+    # until leaves fit) cannot happen, and no per-iteration conditional is
+    # paid either.
+    def outer_cond(st):
+        sp = st[1]
+        ovf = st[7]
+        n_it = st[8]
+        return (sp > 0) & ~ovf & (n_it < iter_budget)
 
-    # end flush: lower-neighbor maximality filter over live leaves, in
-    # FB-row blocks bounded by lp (work ∝ leaves produced, not capacity)
-    fiota = jnp.arange(FB, dtype=jnp.int32)
-    OUT0 = jnp.zeros((ocap_total if emit else 0, LK), jnp.uint32)
+    def outer_body(st):
+        st = jax.lax.while_loop(inner_cond, body, st)
+        STK, sp, LBUF, lp, OUT, op, total, ovf, n_it = st
+        total, OUT, op, ovf = flush(total, LBUF, lp, OUT, op, ovf)
+        return (STK, sp, LBUF, jnp.int32(0), OUT, op, total, ovf, n_it)
 
-    def fcond(fst):
-        fb = fst[0]
-        return fb * FB < lp
-
-    def fbody(fst):
-        fb, total, OUT, op, fovf = fst
-        blk = jax.lax.dynamic_slice(LBUF, (fb * FB, jnp.int32(0)), (FB, LK))
-        LB = jax.lax.slice_in_dim(blk, 0, WW, axis=1)
-        LRc = jnp.clip(blk[:, WW].astype(jnp.int32), 0, C - 1)
-
-        def fstep(acc, mv):
-            Mb, vb = mv
-            Mg = jnp.take(Mb, LRc, axis=0)                 # [FB, INb, WW]
-            vg = jnp.take(vb, LRc, axis=0)                 # [FB, INb]
-            cov = jnp.all((LB[:, None, :] & ~Mg) == 0, axis=2) & vg
-            return acc | jnp.any(cov, axis=1), None
-
-        covered, _ = jax.lax.scan(
-            fstep, jnp.zeros((FB,), jnp.bool_), (Ms, vs))
-        ok = ~covered & (fb * FB + fiota < lp)
-        total = total + jnp.sum(ok, dtype=jnp.int64)
-        if emit:
-            fcum = _cumsum_i32(ok)
-            n_ok = fcum[-1]
-            dst = jnp.where(ok, jnp.minimum(op, out_cap) + fcum - 1,
-                            jnp.int32(ocap_total))
-            OUT = OUT.at[dst].set(blk, mode="drop")
-            op = op + n_ok
-            fovf = fovf | (op > out_cap)
-        return (fb + 1, total, OUT, op, fovf)
-
-    fst = jax.lax.while_loop(
-        fcond, fbody,
-        (jnp.int32(0), jnp.int64(0), OUT0, jnp.int32(0), ovf))
-    _, total, OUT, op, ovf = fst
-    if emit:
-        return total, ovf, OUT, op, n_iter
-    return total, ovf, n_iter
+    st = (STK, n0, LBUF, nl0, OUT0, op0, total0,
+          jnp.bool_(False), jnp.int32(0))
+    st = jax.lax.while_loop(outer_cond, outer_body, st)
+    STK, sp, LBUF, lp, OUT, op, total, ovf, n_iter = st
+    # roots-only case (outer loop never entered) or trailing leaves
+    total, OUT, op, ovf = flush(total, LBUF, lp, OUT, op, ovf)
+    done = (sp <= 0) | ovf
+    return total, ovf, done, n_iter, (STK, sp, OUT, op, total)
 
 
 @jax.jit
@@ -732,7 +789,7 @@ def _gather_wlists(lo_indptr, lo_cols, chunk, *, in_width: int):
 def _bk_fused(g: CSRGraph, rank: np.ndarray, roots: np.ndarray, *,
               collect: bool = False, devices=None,
               root_chunk: int = DEFAULT_ROOT_CHUNK,
-              stack_words: int = 1 << 22, out_budget: int = 1 << 17,
+              stack_words: int = 1 << 23, out_budget: int = 1 << 17,
               max_inflight: int = 8):
     """Count (or enumerate) maximal cliques rooted at `roots` via
     `bk_fused_chunk`, dispatched asynchronously in waves round-robin over
@@ -772,61 +829,83 @@ def _bk_fused(g: CSRGraph, rank: np.ndarray, roots: np.ndarray, *,
             in_block //= 2
         cap = max(C, stack_words // (3 * WW + 1))
         out_cap = max(out_budget, 1 << 16) if collect else 0
-        return IN, IB, batch, push_cap, leaf_cap, in_block, cap, out_cap
+        # pop rounds per dispatch: keep each device program well under the
+        # axon worker's ~60s execution watchdog (measured ~0.3-1ms/round)
+        iter_budget = max(2048, (1 << 21) // W)
+        return (IN, IB, batch, push_cap, leaf_cap, in_block, cap, out_cap,
+                iter_budget)
 
-    def dispatch(di, chunk, WW, pl):
-        IN, IB, batch, push_cap, leaf_cap, in_block, cap, out_cap = pl
+    _dummy = (jnp.zeros((1, 1), jnp.uint32), jnp.int32(0),
+              jnp.zeros((1, 1), jnp.uint32), jnp.int32(0), jnp.int64(0))
+
+    def dispatch(di, job):
+        chunk, WW, pl, rp = job
+        (IN, IB, batch, push_cap, leaf_cap, in_block, cap, out_cap,
+         iter_budget) = pl
         d = devices[di]
         nbr_d, lop_d, loc_d = table(di)
-        ch = jnp.asarray(chunk) if d is None else jax.device_put(
-            jnp.asarray(chunk), d)
-        wl = _gather_wlists(lop_d, loc_d, ch, in_width=IN)
-        M, wvalid = _hub_cover_bits(nbr_d, ch, wl, w_words=WW, i_block=IB)
-        return (ch, bk_fused_chunk(
-            nbr_d, ch, M, wvalid, w_words=WW, cap=cap, batch=batch,
+        if rp is None:
+            ch = jnp.asarray(chunk) if d is None else jax.device_put(
+                jnp.asarray(chunk), d)
+            wl = _gather_wlists(lop_d, loc_d, ch, in_width=IN)
+            M, wvalid = _hub_cover_bits(nbr_d, ch, wl, w_words=WW,
+                                        i_block=IB)
+            state = _dummy
+        else:
+            (ch, M, wvalid), state, _ = rp
+        res = bk_fused_chunk(
+            nbr_d, ch, M, wvalid, state, w_words=WW, cap=cap, batch=batch,
             push_cap=push_cap, leaf_cap=leaf_cap, in_block=in_block,
-            out_cap=out_cap))
+            out_cap=out_cap, iter_budget=iter_budget,
+            resume=rp is not None)
+        return (chunk, WW, pl, (ch, M, wvalid), res)
 
     queue = []
     for tchunk, WW in _plan_root_chunks(dag_deg, roots, root_chunk, pad_id):
         for chunk in _indeg_sub_chunks(tchunk, WW, indeg_all, pad_id):
-            queue.append((chunk, WW, plan(chunk, WW)))
+            queue.append((chunk, WW, plan(chunk, WW), None))
 
     total = 0
     cliques: list[frozenset] | None = [] if collect else None
     while queue:
         wave, queue = queue[:max_inflight], queue[max_inflight:]
-        pending = [(i % len(devices), c, WW, pl,
-                    dispatch(i % len(devices), c, WW, pl))
-                   for i, (c, WW, pl) in enumerate(wave)]
-        for di, chunk, WW, pl, (ch, res) in pending:
-            ovf = bool(res[1])
-            if not ovf:
-                total += int(res[0])
-                if collect:
-                    n_out = int(res[3])
-                    gid, members = (np.asarray(a) for a in
-                                    decode_clique_members(
-                                        table(di)[0], ch, res[2]))
-                    for l in range(n_out):
-                        ms = members[l]
-                        cliques.append(
-                            frozenset([int(gid[l]),
-                                       *ms[ms >= 0].tolist()]))
+        pending = []
+        for i, job in enumerate(wave):
+            rp = job[3]
+            # resume segments stay on the device holding their state
+            di = rp[2] if rp is not None else i % len(devices)
+            pending.append((di, dispatch(di, job)))
+        for di, (chunk, WW, pl, keep, res) in pending:
+            total_j, ovf_a, done_a, _n_iter, state = res
+            if bool(ovf_a):
+                real = chunk[chunk != pad_id]
+                if len(real) > 1:             # split roots, same shape
+                    h = len(real) // 2
+                    for part in (real[:h], real[h:]):
+                        sub = np.full(len(chunk), pad_id, chunk.dtype)
+                        sub[: len(part)] = part
+                        queue.append((sub, WW, pl, None))
+                else:                         # single root: grow caps
+                    (IN, IB, batch, push_cap, leaf_cap, in_block, cap,
+                     out_cap, iter_budget) = pl
+                    pl2 = (IN, IB, batch, push_cap, leaf_cap, in_block,
+                           cap * 2, out_cap * 2 if out_cap else 0,
+                           iter_budget)
+                    queue.append((chunk, WW, pl2, None))
                 continue
-            real = chunk[chunk != pad_id]
-            if len(real) > 1:                     # split roots, same shape
-                h = len(real) // 2
-                for part in (real[:h], real[h:]):
-                    sub = np.full(len(chunk), pad_id, chunk.dtype)
-                    sub[: len(part)] = part
-                    queue.append((sub, WW, pl))
-            else:                                 # single root: grow caps
-                (IN, IB, batch, push_cap, leaf_cap, in_block, cap,
-                 out_cap) = pl
-                pl2 = (IN, IB, batch, push_cap, leaf_cap * 2, in_block,
-                       cap * 2, out_cap * 2 if out_cap else 0)
-                queue.append((chunk, WW, pl2))
+            if not bool(done_a):              # segment budget hit: resume
+                queue.append((chunk, WW, pl, (keep, state, di)))
+                continue
+            total += int(total_j)
+            if collect:
+                n_out = int(state[3])
+                gid, members = (np.asarray(a) for a in
+                                decode_clique_members(
+                                    table(di)[0], keep[0], state[2]))
+                for l in range(n_out):
+                    ms = members[l]
+                    cliques.append(
+                        frozenset([int(gid[l]), *ms[ms >= 0].tolist()]))
     return total, cliques
 
 

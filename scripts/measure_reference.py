@@ -36,6 +36,11 @@ TARGETS = {
                ["-p", "clique-size=5"], "kclique5"),
     "bk": ("maximal_clique_enum_bron_kerbosch", [], "bk"),
     "star": ("k_clique_star_list", ["-p", "k=4"], "star4"),
+    # coloring.cc:32-129 / link_prediction.cc:80-101 print per-trial
+    # "Trial Time" lines across their variant suites; the baseline records
+    # the BEST variant's trial time (min) at --extra-scale
+    "coloring": ("coloring", [], "coloring"),
+    "lp": ("link_prediction", [], "lp_auc"),
 }
 
 
@@ -199,6 +204,11 @@ def main() -> None:
                 secs = _floats(row)[0]
                 data[f"star4_scale{args.star_scale}_seconds"] = secs
                 print("star row:", row, file=sys.stderr)
+        elif t in ("coloring", "lp"):
+            r = measure(binary, args.extra_scale, extra)
+            key = f"{prefix}_scale{args.extra_scale}_best_trial_seconds"
+            data[key] = min(r["all_trials"])
+            print(t, key, data[key], file=sys.stderr)
 
     with open(path, "w") as f:
         json.dump(data, f, indent=2)
