@@ -471,12 +471,14 @@ def bk_fused_chunk(dag_nbr, chunk, M, wvalid, state, *, w_words: int,
     happens ONCE at the end over the leaf buffer, in 64k-row blocks bounded
     by the live count lp — no in-loop conditional.
 
-    Returns (total int64, overflow bool, done bool, n_iter int32,
-    state = (STK, sp, OUT, op)); in enumerate mode (out_cap > 0) the OUT
-    rows [0:op) are (Rbits | root-local idx) for device decode. `overflow`
-    means the stack or output exceeded capacity: results must be discarded
-    and the chunk split (count-then-emit — capacity is part of the
-    compiled shape, so overflow is a retry, never a wrong answer).
+    Returns (scalars int64[4] = (total, overflow, done, n_iter),
+    state = (STK, sp, OUT, op, total)) — the scalars travel as ONE block
+    because each host fetch pays the full ~20ms tunnel round-trip. In
+    enumerate mode (out_cap > 0) the OUT rows [0:op) are (Rbits |
+    root-local idx) for device decode. `overflow` means the stack or
+    output exceeded capacity: results must be discarded and the chunk
+    split (count-then-emit — capacity is part of the compiled shape, so
+    overflow is a retry, never a wrong answer).
 
     RESUMABILITY (the r04 scale-14 fix): the axon TPU worker kills any
     single device program running longer than ~60s (measured: a 61s
@@ -721,7 +723,12 @@ def bk_fused_chunk(dag_nbr, chunk, M, wvalid, state, *, w_words: int,
     # roots-only case (outer loop never entered) or trailing leaves
     total, OUT, op, ovf = flush(total, LBUF, lp, OUT, op, ovf)
     done = (sp <= 0) | ovf
-    return total, ovf, done, n_iter, (STK, sp, OUT, op, total)
+    # ONE scalar block per dispatch: each host fetch pays the full ~20ms
+    # tunnel round-trip, so (total, ovf, done, n_iter) travel together
+    scalars = jnp.stack([total, ovf.astype(jnp.int64),
+                         done.astype(jnp.int64),
+                         n_iter.astype(jnp.int64)])
+    return scalars, (STK, sp, OUT, op, total)
 
 
 @jax.jit
@@ -820,8 +827,12 @@ def _bk_fused(g: CSRGraph, rank: np.ndarray, roots: np.ndarray, *,
         IN = max(32, 1 << int(np.ceil(np.log2(max(mx, 1)))))
         IB = max(1, min(IN, (1 << 27) // max(C * W * dpg.d_pad, 1)))
         IB = 1 << int(np.log2(IB))                        # divides IN
-        batch = 1024
-        push_cap = max(W, 2048)
+        # wide tiers carry deep hub trees: bigger pops amortize the fixed
+        # per-round cost (W=128 hot job: 4.9s at 1024/2048, 4.1s at
+        # 4096/8192, r04 sweep); narrow tiers stay small — their jobs are
+        # sub-second and larger push_caps made per-round slot ops slower
+        batch = 4096 if W >= 128 else 1024
+        push_cap = max(W, 2 * batch)
         leaf_cap = max(push_cap, (1 << 22) // (WW + 1))
         FB = min(1 << 16, leaf_cap)
         in_block = IN
@@ -875,9 +886,15 @@ def _bk_fused(g: CSRGraph, rank: np.ndarray, roots: np.ndarray, *,
             # resume segments stay on the device holding their state
             di = rp[2] if rp is not None else i % len(devices)
             pending.append((di, dispatch(di, job)))
-        for di, (chunk, WW, pl, keep, res) in pending:
-            total_j, ovf_a, done_a, _n_iter, state = res
-            if bool(ovf_a):
+        # batched fetch: ALL wave scalar blocks in one device_get
+        scalar_blocks = jax.device_get([res[0] for _, (_, _, _, _, res)
+                                        in pending])
+        for (di, (chunk, WW, pl, keep, res)), sc in zip(pending,
+                                                        scalar_blocks):
+            total_j, ovf_a, done_a, _n_iter = (int(sc[0]), bool(sc[1]),
+                                               bool(sc[2]), int(sc[3]))
+            state = res[1]
+            if ovf_a:
                 real = chunk[chunk != pad_id]
                 if len(real) > 1:             # split roots, same shape
                     h = len(real) // 2
@@ -893,10 +910,10 @@ def _bk_fused(g: CSRGraph, rank: np.ndarray, roots: np.ndarray, *,
                            iter_budget)
                     queue.append((chunk, WW, pl2, None))
                 continue
-            if not bool(done_a):              # segment budget hit: resume
+            if not done_a:                    # segment budget hit: resume
                 queue.append((chunk, WW, pl, (keep, state, di)))
                 continue
-            total += int(total_j)
+            total += total_j
             if collect:
                 n_out = int(state[3])
                 gid, members = (np.asarray(a) for a in
