@@ -104,9 +104,22 @@ def main() -> None:
     roof = f"model_traffic={gb:.2f}GB achieved={gb/per_trial:.0f}GB/s"
     if os.environ.get("BENCH_ROOFLINE", "1") != "0":
         # default ON: the committed artifact must carry the denominator
-        # (VERDICT r02 next-step 4), not just the achieved number
+        # (VERDICT r02 next-step 4), not just the achieved number.
+        # Wall-clock per trial = fixed tunnel/dispatch latency (amortized
+        # over TRIALS) + true device time; the slope between two trial
+        # counts isolates the device-only number (VERDICT r03 item 7: say
+        # WHERE the non-roofline fraction goes).
+        _, t_small = plan.run_steady(max(TRIALS // 4, 2))
+        small = max(TRIALS // 4, 2)
+        dev_per_trial = max(
+            (per_trial * TRIALS - t_small * small) / (TRIALS - small),
+            1e-9)
+        fixed_ms = max(t_small * small - dev_per_trial * small, 0) * 1e3
         bw = _stream_bandwidth()
-        roof += f" stream_peak={bw:.0f}GB/s frac={gb/per_trial/bw:.0%}"
+        roof += (f" stream_peak={bw:.0f}GB/s frac_wall={gb/per_trial/bw:.0%}"
+                 f" device_time={dev_per_trial*1e3:.2f}ms/trial"
+                 f" frac_device={gb/dev_per_trial/bw:.0%}"
+                 f" fixed_overhead={fixed_ms:.1f}ms/dispatch")
 
     ref = _load_baseline()
     vs_baseline = None

@@ -110,9 +110,13 @@ def build_local_adj(nbr, roots, *, w_words: int):
     C = r_nbr.shape[0]
     D = nbr.shape[1]
 
-    if W * D <= 1 << 18:
+    if W * D <= 1 << 18 or C * W * D <= 1 << 27:
         # blocked dense compare: scan over i-blocks sized so the fused
-        # [C, IB, W, D] equality tile stays ~2^27 elements
+        # [C, IB, W, D] equality tile stays ~2^27 elements. The second
+        # condition admits wide-W tiers (whose C is planner-bounded):
+        # the searchsorted fallback below is a W-step sequential scan,
+        # and at W >= 2048 those steps exceeded the axon worker's ~60s
+        # per-dispatch watchdog (the r04 star scale-12 crash).
         IB = max(1, min(W, (1 << 27) // max(C * W * D, 1)))
         while W % IB:
             IB -= 1

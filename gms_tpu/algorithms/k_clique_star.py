@@ -65,7 +65,7 @@ def build_local_univ(nbr, rank_pad, roots, *, w_words: int):
         axis=2, dtype=jnp.uint32)
 
     D = nbr.shape[1]
-    if W * D <= 1 << 18:
+    if W * D <= 1 << 18 or C * W * D <= 1 << 27:  # see build_local_adj
         # blocked dense compare (the build_local_adj fast path): the fused
         # [C, IB, W, D] equality tile beats W vmapped binary searches ~100x
         # on this chip for the common tier widths
@@ -233,6 +233,11 @@ def kclique_star_list(
         WW = W // 32
         cmax = max(16, min(root_chunk, _bucket(
             max(mem_budget_words // (W * WW), 16)) // 2))
+        # keep C·W·D inside the dense-compare budget: the searchsorted
+        # fallback is a W-step sequential scan whose wide tiers exceed
+        # the axon ~60s per-dispatch watchdog (r04 star scale-12 crash)
+        D = pg.d_pad
+        cmax = max(4, min(cmax, (1 << 27) // max(W * D, 1)))
         stop = start
         while stop < len(roots_sorted) and stop - start < cmax and \
                 deg_all[roots_sorted[stop]] <= W:
@@ -248,33 +253,47 @@ def kclique_star_list(
         R = jnp.zeros((cmax, WW), jnp.uint32)
         root_idx = jnp.where(jnp.asarray(chunk) == pad_id, -1,
                              jnp.arange(cmax, dtype=jnp.int32))
-        remaining = k - 1
-        alive = True
-        while remaining > 0:
+        # piece-sliced frontier stack: expand_star_level's inner scan runs
+        # N/NBLK steps, so unbounded level frontiers (millions of rows at
+        # k-1 for hub chunks) would exceed the axon ~60s per-dispatch
+        # watchdog; every dispatch expands at most `piece` rows
+        NBLK = max(1, (1 << 24) // max(3 * W * WW, 1))
+        piece = _bucket(min(1 << 16, 256 * NBLK)) // 2
+        stack = [(S, I, R, root_idx, k - 1)]
+        while stack:
+            S, I, R, ridx, rem = stack.pop()
+            if rem == 0:
+                live = np.asarray(ridx) >= 0
+                if not live.any():
+                    continue
+                Rh, Ih = np.asarray(R)[live], np.asarray(I)[live]
+                rl = np.asarray(ridx)[live]
+                star_bits = Ih & ~Rh
+                n_cliques += len(rl)
+                star_total += int(
+                    np.unpackbits(star_bits.view(np.uint8), axis=1).sum())
+                if mode == "list":
+                    for rloc, rb, sb in zip(rl, Rh, star_bits):
+                        gid = int(chunk[rloc])
+                        locals_ = nbr_host[gid]
+                        members = frozenset(
+                            [gid] + _bits_to_ids(rb, locals_))
+                        star = frozenset(_bits_to_ids(sb, locals_))
+                        results.append((members, star))
+                continue
+            N = S.shape[0]
+            if N > piece:
+                for s in range(0, N, piece):
+                    stack.append((S[s:s + piece], I[s:s + piece],
+                                  R[s:s + piece], ridx[s:s + piece], rem))
+                continue
             ub = int(total_popcount(S))
             if ub == 0:
-                alive = False
-                break
-            S, I, R, root_idx, _n = expand_star_level(
-                S, I, R, root_idx, adj_full, adj_dag,
-                cap=_bucket(ub), need=max(remaining - 1, 0))
-            remaining -= 1
-        if not alive:
-            continue
-        live = np.asarray(root_idx) >= 0
-        Rh, Ih = np.asarray(R)[live], np.asarray(I)[live]
-        ridx = np.asarray(root_idx)[live]
-        star_bits = Ih & ~Rh
-        n_cliques += len(ridx)
-        star_total += int(
-            np.unpackbits(star_bits.view(np.uint8), axis=1).sum())
-        if mode == "list":
-            for rl, rb, sb in zip(ridx, Rh, star_bits):
-                gid = int(chunk[rl])
-                locals_ = nbr_host[gid]
-                members = frozenset([gid] + _bits_to_ids(rb, locals_))
-                star = frozenset(_bits_to_ids(sb, locals_))
-                results.append((members, star))
+                continue
+            out = expand_star_level(
+                S, I, R, ridx, adj_full, adj_dag,
+                cap=_bucket(ub), need=max(rem - 1, 0))
+            stack.append(tuple(out[:4]) + (rem - 1,))
     if mode == "count":
         return n_cliques, star_total
     return results

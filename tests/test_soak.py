@@ -130,6 +130,20 @@ def test_kclique_bench_density_scale12_deg16():
 
 
 @slow
+def test_star_count_matches_kclique_scale12_deg16():
+    """k-clique-star at bench density: each 4-clique emitted exactly once,
+    so the star count must equal the independent k-clique counter's
+    (VERDICT r03 item 6: star tests previously stayed below n=64)."""
+    from gms_tpu.algorithms.k_clique import kclique_count
+    from gms_tpu.algorithms.k_clique_star import kclique_star_list
+
+    g = rmat(12, 16)
+    n, star_total = kclique_star_list(g, 4, mode="count")
+    assert n == kclique_count(g, 4) == 4077953
+    assert star_total > 0
+
+
+@slow
 def test_per_vertex_tc_scale12_matches_total():
     from gms_tpu.algorithms.triangle_count import triangle_count_per_vertex
 
