@@ -33,8 +33,9 @@ import jax.numpy as jnp
 from gms_tpu.graphs.csr import CSRGraph, _csr_from_sorted_pairs
 from gms_tpu.graphs.tiles import PaddedGraph, round_up
 from gms_tpu.algorithms.similarity import (
-    pair_scores, all_pairs_scores, _deg_lookup, METRICS,
+    pair_scores, pair_scores_hub, all_pairs_scores, _deg_lookup, METRICS,
 )
+from gms_tpu.graphs.tiles import SENTINEL
 
 
 def _csr_from_undirected(edges_uv: np.ndarray, num_nodes: int) -> CSRGraph:
@@ -143,15 +144,118 @@ def score_auc(
     true_edges = test_und[rng.integers(0, len(test_und), size=num_trials)]
     false_edges = sample_non_edges(g_true, num_trials, seed=seed + 1, forbid=g_test)
 
-    pg = PaddedGraph.from_csr(g_train)
-    deg1 = _deg_lookup(pg)
-    st = np.asarray(pair_scores(
-        pg.nbr, deg1, jnp.asarray(true_edges.astype(np.int32)), metric=metric))
-    sf = np.asarray(pair_scores(
-        pg.nbr, deg1, jnp.asarray(false_edges.astype(np.int32)), metric=metric))
+    scores = _train_scorer(g_train, metric)
+    st = scores(true_edges)
+    sf = scores(false_edges)
     higher = np.sum(st > sf)
     equal = np.sum(st == sf)
     return float((higher + 0.5 * equal) / num_trials)
+
+
+# per-train-graph scorer cache: building a scorer uploads the padded table
+# (~2.5GB at scale 16 over the ~20ms-latency tunnel), which must happen
+# once per train graph, not once per metric call
+_scorer_cache: dict = {}
+
+
+def _train_scorer(g_train: CSRGraph, metric: str):
+    key = id(g_train)
+    entry = _scorer_cache.get(key)
+    if entry is None or entry[0]() is not g_train:
+        import weakref
+
+        pg = PaddedGraph.from_csr(g_train)
+        entry = (weakref.ref(g_train), pg, _deg_lookup(pg), {})
+        _scorer_cache.clear()  # keep at most one train graph resident
+        _scorer_cache[key] = entry
+    _, pg, deg1, per_metric = entry
+    if metric not in per_metric:
+        per_metric[metric] = _make_tiered_pair_scorer(
+            g_train, pg, deg1, metric)
+    return per_metric[metric]
+
+
+def _make_tiered_pair_scorer(g_train: CSRGraph, pg: PaddedGraph, deg1,
+                             metric: str):
+    """Pair scorer with DEGREE-TIERED row widths: pairs are bucketed by
+    max endpoint degree and scored against a [V, Dt] column slice of the
+    padded table, so per-pair work tracks the pair's true degree instead
+    of the global pad width (at scale 16 the [B, D_pad=9600] gathers made
+    one 8k-pair batch 27s and a 100k batch 21GB — the r04 LP-bench OOM;
+    tiering gives the compare-path member test to the ~avg-degree
+    majority)."""
+    deg = np.asarray(pg.deg)
+    sliced = {}
+
+    def nbr_t(Dt):
+        if Dt not in sliced:
+            sliced[Dt] = jax.lax.slice_in_dim(pg.nbr, 0, Dt, axis=1)
+        return sliced[Dt]
+
+    def _bkt(d):
+        return np.minimum(
+            np.maximum(32, 1 << np.ceil(
+                np.log2(np.maximum(d, 1))).astype(np.int64)), pg.d_pad)
+
+    # id-space bitmaps for hub rows (deg > hub_t): a degree-biased AUC
+    # sample concentrates on hub pairs, and a bit test beats a
+    # log(deg)-pass binary search there (similarity.pair_scores_hub)
+    hub_t = 512
+    hubs = np.nonzero(deg > hub_t)[0]
+    vw = (pg.v_pad + 31) // 32
+    if len(hubs):
+        # build from the HOST CSR (reading pg.nbr back would pull the
+        # whole padded table through the tunnel)
+        hdeg = g_train.degrees[hubs].astype(np.int64)
+        hi = np.repeat(np.arange(len(hubs)), hdeg)
+        off = (np.arange(hdeg.sum())
+               - np.repeat(np.cumsum(hdeg) - hdeg, hdeg))
+        hv = g_train.indices[np.repeat(g_train.indptr[hubs], hdeg) + off]
+        bm = np.zeros((len(hubs), vw), np.uint32)
+        np.bitwise_or.at(bm, (hi, hv >> 5),
+                         np.uint32(1) << (hv & 31).astype(np.uint32))
+        bm_flat = jnp.asarray(bm.reshape(-1))
+    else:
+        bm_flat = jnp.zeros(1, jnp.uint32)
+    hub_idx_np = np.full(pg.v_pad + 1, 0, np.int32)
+    hub_idx_np[hubs] = np.arange(len(hubs), dtype=np.int32)
+    hub_idx = jnp.asarray(hub_idx_np)
+
+    def scores(edges) -> np.ndarray:
+        e = np.asarray(edges, dtype=np.int32)
+        # smaller-degree endpoint first: all metrics are symmetric, and
+        # the membership test then scans deg_small elements against the
+        # deg_large side
+        swap = deg[e[:, 0]] > deg[e[:, 1]]
+        e = np.where(swap[:, None], e[:, ::-1], e)
+        Da = _bkt(deg[e[:, 0]])
+        is_hub = deg[e[:, 1]] > hub_t
+        Db = np.where(is_hub, 0, _bkt(deg[e[:, 1]]))   # 0 = hub-bitmap path
+        key = Da * (pg.d_pad + 1) + Db
+        out = np.empty(len(e), np.float32)
+        for kk in np.unique(key):
+            idx = np.nonzero(key == kk)[0]
+            da, db = int(kk) // (pg.d_pad + 1), int(kk) % (pg.d_pad + 1)
+            chunk = int(max(256, min(1 << 16, (1 << 26) // max(da, 1))))
+            for s in range(0, len(idx), chunk):
+                sel = idx[s : s + chunk]
+                # pad to the next power of two of the ACTUAL slice — a
+                # sparse tier must not pay the full chunk budget
+                B = max(256, 1 << int(np.ceil(np.log2(len(sel)))))
+                ep = np.zeros((B, 2), np.int32)
+                ep[: len(sel)] = e[sel]
+                if db == 0:
+                    sc = np.asarray(pair_scores_hub(
+                        nbr_t(da), deg1, bm_flat, hub_idx,
+                        jnp.asarray(ep), metric=metric, vw=vw))
+                else:
+                    sc = np.asarray(pair_scores(
+                        nbr_t(da), deg1, jnp.asarray(ep), metric=metric,
+                        nbr_b=nbr_t(db)))
+                out[sel] = sc[: len(sel)]
+        return out
+
+    return scores
 
 
 @functools.partial(

@@ -48,18 +48,29 @@ def _deg_lookup(pg: PaddedGraph):
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "method"))
-def pair_scores(nbr, deg1, pairs, *, metric: str, method: str = "auto"):
+def pair_scores(nbr, deg1, pairs, *, metric: str, method: str = "auto",
+                nbr_b=None):
     """float32[B] similarity for pairs int32[B, 2] over padded adjacency.
 
     deg1: int32[V_pad + 1] degree lookup (last slot 0, absorbs clip).
+    nbr_b: optional second table for the v side — callers that order each
+    pair smaller-degree-first can pass narrower/wider column slices so
+    the membership test costs deg_small·log(deg_large) instead of
+    D_pad·log(D_pad) (every metric here is symmetric in (u, v)).
     """
     a = jnp.take(nbr, pairs[:, 0], axis=0, mode="clip")
-    b = jnp.take(nbr, pairs[:, 1], axis=0, mode="clip")
+    b = jnp.take(nbr if nbr_b is None else nbr_b, pairs[:, 1], axis=0,
+                 mode="clip")
     ca = jnp.take(deg1, pairs[:, 0], mode="clip").astype(jnp.float32)
     cb = jnp.take(deg1, pairs[:, 1], mode="clip").astype(jnp.float32)
     m = ops.member(a, b, method=method)                       # [B, D]
-    c = jnp.sum(m, axis=1, dtype=jnp.int32).astype(jnp.float32)
+    return _finish_metric(metric, m, a, ca, cb, deg1)
 
+
+def _finish_metric(metric: str, m, a, ca, cb, deg1):
+    """Reference metric formulas from the membership mask `m` over the
+    u-side row `a` (vertex_similarity.h:29-187 semantics, quirks intact)."""
+    c = jnp.sum(m, axis=1, dtype=jnp.int32).astype(jnp.float32)
     if metric == "jaccard":
         both_empty = (ca == 0) & (cb == 0)
         return jnp.where(both_empty, 1.0, c / (ca + cb + c))
@@ -77,6 +88,27 @@ def pair_scores(nbr, deg1, pairs, *, metric: str, method: str = "auto"):
         w = 1.0 / jnp.log(wdeg) if metric == "adamic_adar" else 1.0 / wdeg
         return jnp.sum(jnp.where(m, w, 0.0), axis=1)
     raise ValueError(f"unknown metric {metric!r}")
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "vw"))
+def pair_scores_hub(nbr_a, deg1, bm_flat, hub_idx, pairs, *, metric: str,
+                    vw: int):
+    """pair_scores for pairs whose v side is a HUB: membership of each
+    u-row element is ONE bit test in the hub's id-space bitmap (bm_flat:
+    uint32[H * vw] packed rows, hub_idx: int32[V_pad + 1] hub slot of v)
+    instead of a log(deg_v)-pass binary search — the degree-biased AUC
+    sample concentrates on hub x hub pairs, which made the searchsorted
+    path ~50x slower than this (r04 LP bench)."""
+    a = jnp.take(nbr_a, pairs[:, 0], axis=0, mode="clip")     # [B, Da]
+    ca = jnp.take(deg1, pairs[:, 0], mode="clip").astype(jnp.float32)
+    cb = jnp.take(deg1, pairs[:, 1], mode="clip").astype(jnp.float32)
+    h = jnp.take(hub_idx, pairs[:, 1], mode="clip")           # [B]
+    valid = a != SENTINEL
+    aw = jnp.clip(a, 0, 32 * vw - 1)
+    widx = h[:, None] * vw + (aw >> 5)
+    words = jnp.take(bm_flat, jnp.clip(widx, 0, bm_flat.shape[0] - 1))
+    m = (((words >> (aw & 31).astype(jnp.uint32)) & 1) == 1) & valid
+    return _finish_metric(metric, m, a, ca, cb, deg1)
 
 
 @functools.partial(jax.jit, static_argnames=("metric",))
