@@ -94,9 +94,10 @@ def _scatter_compact_dest(ok_flat, cum, oob: int):
 # VERDICT r03 weak item 2 — direct tiers are now fenced to W <= 1024).
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("w_words", "cap", "batch"))
+@functools.partial(jax.jit, static_argnames=("w_words", "cap", "batch",
+                                             "iter_budget"))
 def bk_count_chunk(nbr, rank_pad, chunk, root_live, *, w_words: int,
-                   cap: int, batch: int):
+                   cap: int, batch: int, iter_budget: int = 1 << 30):
     """Count maximal cliques of one root chunk in ONE device dispatch.
 
     A device-resident LIFO work stack: each iteration pops `batch` items
@@ -110,7 +111,11 @@ def bk_count_chunk(nbr, rank_pad, chunk, root_live, *, w_words: int,
     stack keeps at most one batch's fan-out per depth level (LIFO), so
     peak ≤ C + depth·batch·|cand|max — the caller sizes `cap` from the
     core bound and SPLITS the chunk on overflow instead of doubling
-    buffers."""
+    buffers. `iter_budget` bounds pop rounds per dispatch (the axon ~60s
+    execution watchdog); hitting it sets `overflow`, and the caller's
+    split path re-runs the halves — the fused DAG-universe path
+    (`bk_fused_chunk`) is the default and resumes properly; this direct
+    variant just stays crash-safe."""
     WW = w_words
     W = 32 * WW
     C = chunk.shape[0]
@@ -147,11 +152,11 @@ def bk_count_chunk(nbr, rank_pad, chunk, root_live, *, w_words: int,
         MS, jnp.where(ikeep, isrc, 0), (0,))
 
     def cond(st):
-        _c, _f, _m, sp, _t, ovf = st
-        return (sp > 0) & ~ovf
+        _c, _f, _m, sp, _t, ovf, n_it = st
+        return (sp > 0) & ~ovf & (n_it < iter_budget)
 
     def body(st):
-        CS, FS, MS, sp, total, ovf = st
+        CS, FS, MS, sp, total, ovf, n_it = st
         base = jnp.maximum(sp - batch, 0)
         idx = base + jnp.arange(batch, dtype=jnp.int32)
         live = idx < sp
@@ -205,11 +210,12 @@ def bk_count_chunk(nbr, rank_pad, chunk, root_live, *, w_words: int,
         CS = jax.lax.dynamic_update_slice(CS, cpush, (base, jnp.int32(0)))
         FS = jax.lax.dynamic_update_slice(FS, fpush, (base, jnp.int32(0)))
         MS = jax.lax.dynamic_update_slice(MS, mpush, (base,))
-        return (CS, FS, MS, new_sp, total, ovf)
+        return (CS, FS, MS, new_sp, total, ovf, n_it + 1)
 
-    _, _, _, _, total, overflow = jax.lax.while_loop(
-        cond, body, (CS, FS, MS, icum[-1], total0, jnp.bool_(False)))
-    return total, overflow
+    _, _, _, sp, total, overflow, _n = jax.lax.while_loop(
+        cond, body,
+        (CS, FS, MS, icum[-1], total0, jnp.bool_(False), jnp.int32(0)))
+    return total, overflow | (sp > 0)
 
 
 @functools.partial(jax.jit, static_argnames=("w_words",))
@@ -292,34 +298,40 @@ def bk_count_async(nbr, rank_pad, chunks, devices=None, *,
             jnp.asarray(chunk), d)
         live = ch != jnp.int32(nbr.shape[0])  # pad slots hold pad_id == v_pad
         return bk_count_chunk(nbr_d, rank_d, ch, live, w_words=WW,
-                              cap=cap, batch=batch)
+                              cap=cap, batch=batch, iter_budget=1 << 17)
 
     total = 0
     pad_id = np.int32(nbr.shape[0])
     queue = []
     for chunk, WW in chunks:
         batch, cap = plan(chunk, WW)
-        queue.append((chunk, WW, batch, cap))
+        queue.append((chunk, WW, batch, cap, 0))
     while queue:
         wave, queue = queue[:max_inflight], queue[max_inflight:]
-        pending = [(i % len(devices), c, WW, b, cap,
+        pending = [(i % len(devices), c, WW, b, cap, r,
                     dispatch(i % len(devices), c, WW, b, cap))
-                   for i, (c, WW, b, cap) in enumerate(wave)]
-        for di, chunk, WW, batch, cap, (t, ovf) in pending:
+                   for i, (c, WW, b, cap, r) in enumerate(wave)]
+        for di, chunk, WW, batch, cap, retries, (t, ovf) in pending:
             if not bool(ovf):
                 total += int(t)
                 continue
+            if retries > 12:
+                raise RuntimeError(
+                    "bk_count_chunk (direct=True) cannot finish this root "
+                    "within its capacity/watchdog budgets — use the "
+                    "default fused path (direct=False), which resumes")
             real = chunk[chunk != pad_id]
             if len(real) > 1:  # split roots, keep padded shape
                 h = len(real) // 2
                 for part in (real[:h], real[h:]):
                     sub = np.full(len(chunk), pad_id, chunk.dtype)
                     sub[: len(part)] = part
-                    queue.append((sub, WW, batch, cap))
+                    queue.append((sub, WW, batch, cap, retries + 1))
             elif batch > 1:  # single root: shrink batch first
-                queue.append((chunk, WW, max(1, batch // 4), cap))
+                queue.append((chunk, WW, max(1, batch // 4), cap,
+                              retries + 1))
             else:  # batch=1 DFS: grow cap (bounded by true depth·fan)
-                queue.append((chunk, WW, 1, cap * 2))
+                queue.append((chunk, WW, 1, cap * 2, retries + 1))
     return total
 
 

@@ -214,73 +214,78 @@ def total_popcount(S):
 # fused whole-chunk kernel: the entire k-2-level DFS in ONE device dispatch
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("w_words", "k", "cap", "batch"))
-def kclique_count_chunk(nbr, chunk, *, w_words: int, k: int, cap: int,
-                        batch: int):
-    """Count k-cliques rooted at `chunk` in ONE device dispatch.
+@functools.partial(jax.jit, static_argnames=(
+    "w_words", "k", "cap", "batch", "iter_budget", "resume"))
+def kclique_count_chunk(nbr, chunk, state, *, w_words: int, k: int,
+                        cap: int, batch: int, iter_budget: int = 1 << 30,
+                        resume: bool = False):
+    """Count k-cliques rooted at `chunk` on a device-resident work stack.
 
     The role of kClist's per-thread DFS (kernels/kclisting.h:92-114 driven
-    by parallelize.h:38-66 node-parallel / :100-118 edge-parallel), fused
-    the way `bron_kerbosch.bk_count_chunk` is: a device-resident LIFO work
-    stack inside one `lax.while_loop`, so the host never sees per-level
-    sizes (the per-slice `int(n2)` readbacks that made the unfused path
-    thousands of ~20ms tunnel round-trips).
+    by parallelize.h:38-66 node-parallel / :100-118 edge-parallel): a
+    LIFO work stack inside one `lax.while_loop`, so the host never sees
+    per-level sizes. Item = (S uint32[WW] candidate bitset; meta packs the
+    root index and `rem` vertices still needed), interleaved in ONE
+    uint32[cap + B·W, WW+1] array. Each iteration pops `batch` items,
+    expands every popped item along ALL W local vertices at once (dense
+    [B, W, WW] AND + popcount), banks leaf counts (rem == 2:
+    Σ_{i∈S} |S ∩ adj_i|, exact int64) and pushes surviving deeper
+    children with one MXU-prefix-sum scatter (the r04 BK lesson: the
+    searchsorted compaction ladder this replaces was 16 binary-search
+    passes over the [B·W] table per iteration).
 
-    Item = (S uint32[WW] candidate bitset, R root-chunk index, rem vertices
-    still needed). Each iteration pops `batch` items off the top, expands
-    every popped item along ALL W local vertices at once (child = S & adj
-    rows — the dense [B, W, WW] AND + popcount), banks leaf counts
-    (rem == 2: Σ_{i∈S} |S ∩ adj_i|, exact int64) and pushes surviving
-    deeper children back with a cumsum-compacted scatter.
+    Hub skew is a non-issue by construction: after a root item's first
+    expansion its children (one per DAG edge) are independent pool items.
 
-    Hub skew is a non-issue by construction (VERDICT item 7 /
-    parallelize.h edge-parallel): after a root item's first expansion its
-    children (one per DAG edge) are independent pool items, so a hub's
-    subtree spreads across batches instead of serializing one chunk.
+    Stack bound: pops take the most recently pushed (lowest-rem) items,
+    so each rem level holds at most one batch's fan-out — peak size
+    <= C + (k-2)·batch·W.
 
-    Stack bound: pops take the most recently pushed (lowest-rem) items, so
-    the stack stays sorted by rem (non-increasing upward) and each rem
-    level holds at most one batch's fan-out — peak size <= C + (k-2)*
-    batch*W. Callers size `cap` to that, making the overflow flag a pure
-    safety assert rather than a retry path.
+    Returns (total, overflow, done, state=(SM_stack, sp, total)). The
+    outer loop stops after `iter_budget` pop rounds so a dispatch stays
+    under the axon worker's ~60s execution watchdog; callers re-dispatch
+    with resume=True and the returned state until done (pass a dummy
+    state tuple when resume=False).
     """
     WW = w_words
     W = 32 * WW
     C = chunk.shape[0]
     BW = batch * W
-    # the stack buffer carries BW rows of headroom above `cap` live items so
-    # the push is ONE contiguous dynamic_update_slice at `base` (never a
-    # scatter — XLA row-scatter is the op this chip executes worst); rows
-    # between new_sp and base+BW are zeroed garbage above the live region
+    K = WW + 1                 # stack row: S | meta (R*256 + rem)
     cap_total = cap + BW
     assert cap >= max(C, batch)
     adj, S0 = build_local_adj(nbr, chunk, w_words=WW)
-    pc0 = jnp.sum(jax.lax.population_count(S0), axis=1, dtype=jnp.int32)
-    S0 = jnp.where((pc0 >= k - 1)[:, None], S0, jnp.uint32(0))
 
-    # meta packs (root index, rem) into one int32: meta = R*256 + rem
-    S_stack = jnp.zeros((cap_total, WW), jnp.uint32)
-    M_stack = jnp.zeros((cap_total,), jnp.int32)
-    S_stack = jax.lax.dynamic_update_slice(S_stack, S0, (0, 0))
-    M_stack = jax.lax.dynamic_update_slice(
-        M_stack, jnp.arange(C, dtype=jnp.int32) * 256 + (k - 1), (0,))
+    if resume:
+        SM, sp0, total0 = state
+    else:
+        del state
+        pc0 = jnp.sum(jax.lax.population_count(S0), axis=1, dtype=jnp.int32)
+        S0ok = jnp.where((pc0 >= k - 1)[:, None], S0, jnp.uint32(0))
+        SM = jnp.zeros((cap_total, K), jnp.uint32)
+        row0 = jnp.concatenate(
+            [S0ok, (jnp.arange(C, dtype=jnp.uint32) * 256
+                    + jnp.uint32(k - 1))[:, None]], axis=1)
+        SM = jax.lax.dynamic_update_slice(SM, row0, (0, 0))
+        sp0 = jnp.int32(C)
+        total0 = jnp.int64(0)
 
     widx = jnp.arange(W, dtype=jnp.int32)
-    out_iota = jnp.arange(BW, dtype=jnp.int32)
 
     def cond(st):
-        _S, _M, sp, _t, ovf = st
-        return (sp > 0) & ~ovf
+        _SM, sp, _t, ovf, n_it = st
+        return (sp > 0) & ~ovf & (n_it < iter_budget)
 
     def body(st):
-        S_stack, M_stack, sp, total, ovf = st
+        SM, sp, total, ovf, n_it = st
         base = jnp.maximum(sp - batch, 0)
         idx = base + jnp.arange(batch, dtype=jnp.int32)
         live = idx < sp
+        prows = jnp.take(SM, idx, axis=0, mode="clip")         # [B, K]
         S = jnp.where(live[:, None],
-                      jnp.take(S_stack, idx, axis=0, mode="clip"),
+                      jax.lax.slice_in_dim(prows, 0, WW, axis=1),
                       jnp.uint32(0))
-        meta = jnp.take(M_stack, idx, mode="clip")
+        meta = prows[:, WW].astype(jnp.int32)
         R = meta >> 8
         rem = jnp.where(live, meta & 255, 0)
 
@@ -297,33 +302,24 @@ def kclique_count_chunk(nbr, chunk, *, w_words: int, k: int, cap: int,
 
         ok = live[:, None] & (rem[:, None] > 2) & has & (pc >= rem[:, None] - 1)
         flat_ok = ok.reshape(BW)
-        cum = jnp.cumsum(flat_ok.astype(jnp.int32))
+        cum = _cumsum_i32(flat_ok)
         n_child = cum[-1]
         new_sp = base + n_child
         ovf = ovf | (new_sp > cap)
-        # scatter-free stable compaction: output slot j takes the (j+1)-th
-        # valid child — its source index is a vectorized binary search of
-        # j+1 in the prefix-sum (cheap VPU passes, no sort, no scatter)
-        src = jnp.searchsorted(cum, out_iota + 1, side="left")
-        src = jnp.minimum(src, BW - 1)
-        keep = out_iota < n_child
-        child_out = jnp.where(
-            keep[:, None],
-            jnp.take(child.reshape(BW, WW), src, axis=0),
-            jnp.uint32(0))
         meta_child = jnp.broadcast_to(
-            R[:, None] * 256 + (rem[:, None] - 1), (batch, W))  # [B, W]
-        meta_out = jnp.where(keep, jnp.take(meta_child.reshape(BW), src), 0)
-        S_stack = jax.lax.dynamic_update_slice(
-            S_stack, child_out, (base, jnp.int32(0)))
-        M_stack = jax.lax.dynamic_update_slice(M_stack, meta_out, (base,))
-        return (S_stack, M_stack, new_sp, total, ovf)
+            (R[:, None] * 256 + (rem[:, None] - 1)).astype(jnp.uint32),
+            (batch, W))
+        blk = jnp.concatenate(
+            [child.reshape(BW, WW), meta_child.reshape(BW, 1)], axis=1)
+        dest = jnp.where(flat_ok, base + cum - 1, jnp.int32(cap_total))
+        SM = SM.at[dest].set(blk, mode="drop")
+        return (SM, new_sp, total, ovf, n_it + 1)
 
-    _, _, _, total, overflow = jax.lax.while_loop(
-        cond, body,
-        (S_stack, M_stack, jnp.int32(C), jnp.int64(0), jnp.bool_(False)),
-    )
-    return total, overflow
+    st = jax.lax.while_loop(
+        cond, body, (SM, sp0, total0, jnp.bool_(False), jnp.int32(0)))
+    SM, sp, total, overflow, _n_it = st
+    done = (sp <= 0) | overflow
+    return total, overflow, done, (SM, sp, total)
 
 
 # ---------------------------------------------------------------------------
@@ -510,14 +506,19 @@ def kclique_count(
                 i_block=i_block))
         return int(sum(int(t) for t in results))
 
-    # k >= 6: fused device work-stack (whole DFS per chunk in one dispatch)
+    # k >= 6: fused device work-stack, resumable dispatch segments
+    # (iter_budget pop rounds per program — axon ~60s watchdog)
     if batch is None:
         batch = max(128, _bucket((1 << 19) // max(W, 1)) // 2)
     cap = root_chunk + (k - 2) * batch * W + batch
+    iter_budget = max(2048, (1 << 21) // max(W, 1))
+    dummy = ((jnp.zeros((1, 1), jnp.uint32), jnp.int32(0), jnp.int64(0)))
 
-    def dispatch(chunk, cap):
-        return kclique_count_chunk(nbr, jnp.asarray(chunk), w_words=WW,
-                                   k=k, cap=cap, batch=batch)
+    def dispatch(chunk, cap, st):
+        return kclique_count_chunk(
+            nbr, jnp.asarray(chunk), dummy if st is None else st,
+            w_words=WW, k=k, cap=cap, batch=batch,
+            iter_budget=iter_budget, resume=st is not None)
 
     pending = []
     for start in range(0, len(roots), root_chunk):
@@ -526,14 +527,16 @@ def kclique_count(
             chunk = np.concatenate(
                 [chunk, np.full(root_chunk - len(chunk), pad_id,
                                 dtype=np.int32)])
-        pending.append((chunk, cap, dispatch(chunk, cap)))
+        pending.append((chunk, cap, dispatch(chunk, cap, None)))
 
     total = 0
     while pending:
         nxt = []
-        for chunk, c, (t, ovf) in pending:
+        for chunk, c, (t, ovf, done, st) in pending:
             if bool(ovf):  # safety net; unreachable given the stack bound
-                nxt.append((chunk, 2 * c, dispatch(chunk, 2 * c)))
+                nxt.append((chunk, 2 * c, dispatch(chunk, 2 * c, None)))
+            elif not bool(done):
+                nxt.append((chunk, c, dispatch(chunk, c, st)))
             else:
                 total += int(t)
         pending = nxt
