@@ -809,7 +809,7 @@ def _bk_fused(g: CSRGraph, rank: np.ndarray, roots: np.ndarray, *,
               collect: bool = False, devices=None,
               root_chunk: int = DEFAULT_ROOT_CHUNK,
               stack_words: int = 1 << 23, out_budget: int = 1 << 17,
-              max_inflight: int = 8):
+              max_inflight: int = 8, iter_budget: int | None = None):
     """Count (or enumerate) maximal cliques rooted at `roots` via
     `bk_fused_chunk`, dispatched asynchronously in waves round-robin over
     `devices` (the multi-chip fan-out hook — parallel/multi.py). Returns
@@ -854,9 +854,10 @@ def _bk_fused(g: CSRGraph, rank: np.ndarray, roots: np.ndarray, *,
         out_cap = max(out_budget, 1 << 16) if collect else 0
         # pop rounds per dispatch: keep each device program well under the
         # axon worker's ~60s execution watchdog (measured ~0.3-1ms/round)
-        iter_budget = max(2048, (1 << 21) // W)
+        ib = (iter_budget if iter_budget is not None
+              else max(2048, (1 << 21) // W))
         return (IN, IB, batch, push_cap, leaf_cap, in_block, cap, out_cap,
-                iter_budget)
+                ib)
 
     _dummy = (jnp.zeros((1, 1), jnp.uint32), jnp.int32(0),
               jnp.zeros((1, 1), jnp.uint32), jnp.int32(0), jnp.int64(0))

@@ -96,3 +96,18 @@ def test_direct_variant_matches_oracle():
         want = len(bk.bron_kerbosch_simple(g))
         assert bk.bron_kerbosch(g, direct=True) == want
         assert bk.bron_kerbosch(g, direct=True, hub_threshold=6) == want
+
+
+def test_resume_segments_equal_counts():
+    """The watchdog-resume protocol (iter_budget pop rounds per dispatch,
+    state round-tripped through the host) must be count-invariant: forcing
+    absurdly small segments exercises many resume hops."""
+    import numpy as np
+    from gms_tpu.preprocessing import degeneracy
+
+    g = build_csr(random_graph(120, 0.2, 9), num_nodes=120)
+    rank, _ = degeneracy.degeneracy_ordering_rank(g)
+    roots = np.arange(g.num_nodes, dtype=np.int32)
+    want, _ = bk._bk_fused(g, np.asarray(rank), roots)
+    got, _ = bk._bk_fused(g, np.asarray(rank), roots, iter_budget=2)
+    assert got == want == len(bk.bron_kerbosch_simple(g))
