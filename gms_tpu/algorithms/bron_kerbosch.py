@@ -27,16 +27,25 @@ post-filter):
      against precomputed cover rows (`_hub_cover_bits`). Higher-ranked
      extenders cannot exist (they would contradict subgraph maximality).
 
-The ENTIRE per-chunk recursion runs in ONE device dispatch
-(`bk_fused_chunk`): a device-resident LIFO work stack inside a
-lax.while_loop pops `batch` items per iteration, computes every popped
-item's pivot with one [B, W, WW] popcount, materializes all children as one
-dense block, banks leaves into a device leaf buffer, and — when the buffer
-fills — runs the lower-neighbor maximality filter in-loop under lax.cond.
-The host sees one scalar readback per chunk instead of the per-level
-dispatch + stats + slicing round-trips that made the r03 path ~54x slower
-than the 2-core C++ reference (VERDICT r03 weak item 1: thousands of ~20ms
-tunnel round-trips, serialized).
+The ENTIRE per-chunk recursion runs in watchdog-bounded device dispatches
+(`bk_fused_chunk`): a device-resident LIFO work stack inside nested
+lax.while_loops adaptively pops items (bounded by actual fan-out so all
+slot-wise ops run at push_cap, not batch·W), computes every popped item's
+pivot with one [B, W, WW] popcount, compacts real children through a
+per-item minor-axis sort + two-level index chain, and banks leaves into a
+device buffer that the maximality filter flushes between inner-loop runs.
+Each dispatch stops after `iter_budget` pop rounds (the axon worker kills
+programs over ~60s) and returns resumable state; the host re-dispatches
+in asynchronous waves with ONE batched scalar fetch per wave. This
+replaced the r03 host-driven level loop (thousands of serialized ~20ms
+tunnel round-trips; 56.9s warm at RMAT-12/deg-16 vs 0.83s now — the
+2-core C++ reference does 0.92s, and at scale 14 it produces nothing in
+2880s while this path finishes 165.4M cliques in 225s).
+
+The leaf filter rejects only ~10-16% of candidate leaves on RMAT at bench
+density (measured r04, scalars[4] diagnostic), so mid-tree X-domination
+pruning — which would pay an [B, IN, WW] cover test every pop round — is
+deliberately NOT done.
 
 Each maximal clique is produced exactly once: its lowest-ranked vertex is
 its root, and within a root the Tomita recursion is duplicate-free. Counts
@@ -614,7 +623,7 @@ def bk_fused_chunk(dag_nbr, chunk, M, wvalid, state, *, w_words: int,
         sp = st[1]
         lp = st[3]
         ovf = st[7]
-        n_it = st[8]
+        n_it = st[8]  # (st[9] = cumulative leaves_seen diagnostic)
         # stop before the leaf buffer could overflow (one more iteration
         # appends at most PC rows, lcap = leaf_cap + PC) or the segment's
         # pop-round budget runs out (axon ~60s per-dispatch watchdog)
@@ -622,7 +631,7 @@ def bk_fused_chunk(dag_nbr, chunk, M, wvalid, state, *, w_words: int,
                 & (n_it < iter_budget))
 
     def body(st):
-        STK, sp, LBUF, lp, OUT, op, total, ovf, n_it = st
+        STK, sp, LBUF, lp, OUT, op, total, ovf, n_it, lseen = st
         rpos = jnp.arange(B, dtype=jnp.int32)
         idx = sp - 1 - rpos                                   # top-first
         inb = idx >= 0
@@ -708,7 +717,7 @@ def bk_fused_chunk(dag_nbr, chunk, M, wvalid, state, *, w_words: int,
             jax.lax.slice_in_dim(child_blk, 2 * WW, K, axis=1),
             mode="drop")
         return (STK, base + n_push, LBUF, lp + n_leaf, OUT, op, total, ovf,
-                n_it + 1)
+                n_it + 1, lseen)
 
     # outer loop: run the work stack until the leaf buffer is nearly full
     # (or the segment budget runs out), flush the maximality filter,
@@ -724,22 +733,26 @@ def bk_fused_chunk(dag_nbr, chunk, M, wvalid, state, *, w_words: int,
 
     def outer_body(st):
         st = jax.lax.while_loop(inner_cond, body, st)
-        STK, sp, LBUF, lp, OUT, op, total, ovf, n_it = st
+        STK, sp, LBUF, lp, OUT, op, total, ovf, n_it, lseen = st
         total, OUT, op, ovf = flush(total, LBUF, lp, OUT, op, ovf)
-        return (STK, sp, LBUF, jnp.int32(0), OUT, op, total, ovf, n_it)
+        return (STK, sp, LBUF, jnp.int32(0), OUT, op, total, ovf, n_it,
+                lseen + lp.astype(jnp.int64))
 
     st = (STK, n0, LBUF, nl0, OUT0, op0, total0,
-          jnp.bool_(False), jnp.int32(0))
+          jnp.bool_(False), jnp.int32(0), jnp.int64(0))
     st = jax.lax.while_loop(outer_cond, outer_body, st)
-    STK, sp, LBUF, lp, OUT, op, total, ovf, n_iter = st
+    STK, sp, LBUF, lp, OUT, op, total, ovf, n_iter, leaves_seen = st
+    leaves_seen = leaves_seen + lp.astype(jnp.int64)
     # roots-only case (outer loop never entered) or trailing leaves
     total, OUT, op, ovf = flush(total, LBUF, lp, OUT, op, ovf)
     done = (sp <= 0) | ovf
     # ONE scalar block per dispatch: each host fetch pays the full ~20ms
-    # tunnel round-trip, so (total, ovf, done, n_iter) travel together
+    # tunnel round-trip, so (total, ovf, done, n_iter, leaves_seen)
+    # travel together (leaves_seen - total = filter-rejected candidates,
+    # the mid-tree-pruning diagnostic)
     scalars = jnp.stack([total, ovf.astype(jnp.int64),
                          done.astype(jnp.int64),
-                         n_iter.astype(jnp.int64)])
+                         n_iter.astype(jnp.int64), leaves_seen])
     return scalars, (STK, sp, OUT, op, total)
 
 
