@@ -54,32 +54,38 @@ class _TierGraph:
     padding points there, so scatters need no masking.
     """
 
-    def __init__(self, g: CSRGraph):
+    def __init__(self, g: CSRGraph, ids: np.ndarray | None = None):
         from gms_tpu.graphs.tiles import round_up
 
         n = g.num_nodes
         deg = g.degrees
         indptr = g.indptr
-        order = np.argsort(deg, kind="stable")
+        # optional row subset: re-tiering to the still-uncolored frontier
+        # between dispatches keeps late rounds proportional to what is
+        # left, not to the whole graph
+        universe = (np.arange(n, dtype=np.int64) if ids is None
+                    else np.asarray(ids, dtype=np.int64))
+        order = universe[np.argsort(deg[universe], kind="stable")]
+        m = len(order)
         tiers = []
         start = 0
-        while start < n:
+        while start < m:
             d0 = int(deg[order[start]])
             Dt = max(32, 1 << int(np.ceil(np.log2(max(d0, 1)))))
             stop = start
-            while stop < n and deg[order[stop]] <= Dt:
+            while stop < m and deg[order[stop]] <= Dt:
                 stop += 1
-            ids = order[start:stop].astype(np.int32)
-            sel = deg[ids].astype(np.int64)
-            Vt = round_up(len(ids), 8)
+            tids = order[start:stop].astype(np.int32)
+            sel = deg[tids].astype(np.int64)
+            Vt = round_up(len(tids), 8)
             nbrt = np.full((Vt, Dt), SENTINEL, np.int32)
-            rows_i = np.repeat(np.arange(len(ids)), sel)
+            rows_i = np.repeat(np.arange(len(tids)), sel)
             col_o = (np.arange(sel.sum())
                      - np.repeat(np.cumsum(sel) - sel, sel))
-            flat = np.repeat(indptr[ids], sel) + col_o
+            flat = np.repeat(indptr[tids], sel) + col_o
             nbrt[rows_i, col_o] = g.indices[flat]
             ids_pad = np.full(Vt, n, np.int32)
-            ids_pad[: len(ids)] = ids
+            ids_pad[: len(tids)] = tids
             tiers.append((jnp.asarray(ids_pad), jnp.asarray(nbrt)))
             start = stop
         self.n = n
@@ -200,8 +206,9 @@ def jones_plassmann(
     # requiring monotone progress (JP provably colors >= 1 per round)
     left = n
     budget = max_rounds or n
+    tiers = tg.tiers
     while budget > 0:
-        colors = _jp_run_tiered(colors, prio, tg.tiers,
+        colors = _jp_run_tiered(colors, prio, tiers,
                                 limit=min(budget, 64), n=n)
         budget -= 64
         out = np.asarray(colors[:n])
@@ -211,6 +218,9 @@ def jones_plassmann(
         if now >= left:
             break
         left = now
+        # re-tier to the uncolored frontier: the dense-core tail needs
+        # ~|core| rounds, and they should cost ~|frontier|, not ~n
+        tiers = _TierGraph(g, ids=np.nonzero(out == -1)[0]).tiers
     raise RuntimeError("jones_plassmann failed to converge")
 
 
