@@ -204,7 +204,10 @@ def _run_extra(name: str, scale: int) -> dict:
     if name == "bron_kerbosch":
         from gms_tpu.algorithms.bron_kerbosch import bron_kerbosch
 
-        bron_kerbosch(g, roots=__import__("numpy").arange(64))  # warm compile
+        # compile every kernel variant of the real plan on all-pad chunks
+        # (ADVICE r04 item 3: the old roots=arange(64) warm-up compiled
+        # none of the real tier shapes)
+        bron_kerbosch(g, warm_compile=True)
         t0 = time.perf_counter()
         n = bron_kerbosch(g)
         dt = time.perf_counter() - t0

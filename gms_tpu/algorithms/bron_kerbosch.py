@@ -67,6 +67,10 @@ from gms_tpu.algorithms.k_clique import build_local_adj, _bucket, _cumsum_i32
 
 DEFAULT_ROOT_CHUNK = 4096
 
+# tuning-sweep hook for _bk_fused's per-chunk plan (scripts/microbench.py);
+# empty in production
+_PLAN_OVERRIDES: dict = {}
+
 
 def _below_masks(W: int, WW: int):
     """Constant uint32[W, WW]: row i = mask of bit positions < i."""
@@ -511,10 +515,34 @@ def bk_fused_chunk(dag_nbr, chunk, M, wvalid, state, *, w_words: int,
     previous total back via state[4]); leaves never persist across
     segments (each segment ends flushed, lp = 0).
     """
+    adj, S0 = build_local_adj(dag_nbr, chunk, w_words=w_words)
+    adj = _symmetrize_bits(adj, w_words=w_words)
+    live0 = chunk != jnp.int32(dag_nbr.shape[0])  # pad slots = v_pad
+    return bk_stack_machine(
+        adj, S0, live0, M, wvalid, state, w_words=w_words, cap=cap,
+        batch=batch, push_cap=push_cap, leaf_cap=leaf_cap,
+        in_block=in_block, out_cap=out_cap, iter_budget=iter_budget,
+        resume=resume)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "w_words", "cap", "batch", "push_cap", "leaf_cap", "in_block",
+    "out_cap", "iter_budget", "resume"))
+def bk_stack_machine(adj, S0, live0, M, wvalid, state, *, w_words: int,
+                     cap: int, batch: int, push_cap: int, leaf_cap: int,
+                     in_block: int, out_cap: int = 0,
+                     iter_budget: int = 1 << 30, resume: bool = False):
+    """The device-resident work-stack recursion of `bk_fused_chunk`, as a
+    pure function of the PREBUILT local universe: adj uint32[C, W, WW]
+    symmetrized induced adjacency, S0 uint32[C, WW] initial cand bitsets,
+    live0 bool[C] real-root mask, M/wvalid cover bitsets. Split out so the
+    memory-scaling sharded plan (parallel/sharding.py
+    VertexShardedBKPlan), whose ring streaming produces exactly these
+    local arrays from table shards, reuses the identical kernel."""
     WW = w_words
     W = 32 * WW
     B = batch
-    C = chunk.shape[0]
+    C = adj.shape[0]
     IN = M.shape[1]
     NB = IN // in_block
     PC = push_cap
@@ -527,8 +555,6 @@ def bk_fused_chunk(dag_nbr, chunk, M, wvalid, state, *, w_words: int,
     K = 3 * WW + 1            # stack row: cand | fini | rbits | root
     LK = WW + 1               # leaf row: rbits | root
 
-    adj, S0 = build_local_adj(dag_nbr, chunk, w_words=WW)
-    adj = _symmetrize_bits(adj, w_words=WW)
     below = _below_masks(W, WW)
     onehot = _onehot_masks(W, WW)
     widx = jnp.arange(W, dtype=jnp.int32)
@@ -543,7 +569,6 @@ def bk_fused_chunk(dag_nbr, chunk, M, wvalid, state, *, w_words: int,
         nl0 = jnp.int32(0)
     else:
         del state
-        live0 = chunk != jnp.int32(dag_nbr.shape[0])  # pad slots = v_pad
         Cand0 = jnp.where(live0[:, None], S0, jnp.uint32(0))
         c0e = jnp.all(Cand0 == 0, axis=1)
         cidx = jnp.arange(C, dtype=jnp.int32)
@@ -635,7 +660,13 @@ def bk_fused_chunk(dag_nbr, chunk, M, wvalid, state, *, w_words: int,
         rpos = jnp.arange(B, dtype=jnp.int32)
         idx = sp - 1 - rpos                                   # top-first
         inb = idx >= 0
-        prows = jnp.take(STK, jnp.maximum(idx, 0), axis=0, mode="clip")
+        # two-step pop: ONE contiguous dynamic_slice window + an
+        # in-window gather (random-row gathers from the multi-MB stack
+        # cost 0.14ms/round in the scale-13 trace; the window slice is
+        # ~free). sp <= cap <= cap_total - PC, so no start clamping.
+        wstart = jnp.maximum(sp - B, 0)
+        win = jax.lax.dynamic_slice(STK, (wstart, jnp.int32(0)), (B, K))
+        prows = jnp.take(win, jnp.clip(idx - wstart, 0, B - 1), axis=0)
         Cand = jnp.where(inb[:, None],
                          jax.lax.slice_in_dim(prows, 0, WW, axis=1),
                          jnp.uint32(0))
@@ -704,18 +735,35 @@ def bk_fused_chunk(dag_nbr, chunk, M, wvalid, state, *, w_words: int,
         leaf = valid_j & c_empty & f_empty
         push = valid_j & ~c_empty
 
-        lcum = _cumsum_i32(leaf)
-        n_leaf = lcum[-1]
-        pcum = _cumsum_i32(push)
-        n_push = pcum[-1]
+        n_leaf = jnp.sum(leaf, dtype=jnp.int32)
+        n_push = jnp.sum(push, dtype=jnp.int32)
         ovf = ovf | (base + n_push > cap)
-        STK = STK.at[jnp.where(push, base + pcum - 1,
-                               jnp.int32(cap_total))].set(
-            child_blk, mode="drop")
-        LBUF = LBUF.at[jnp.where(leaf, lp + lcum - 1,
-                                 jnp.int32(lcap))].set(
-            jax.lax.slice_in_dim(child_blk, 2 * WW, K, axis=1),
-            mode="drop")
+        # compaction by ONE variadic bitonic sort (key + all K row
+        # columns as payloads) + contiguous dynamic_update_slices. The
+        # per-row scatters this replaces cost 0.83ms (STK) + 0.33ms
+        # (LBUF) per round on the scale-13 hot job — half its
+        # wall-clock — and every row-granular scatter/gather/
+        # searchsorted alternative pays the same per-row DMA tax; the
+        # sort network moves rows through vector registers instead.
+        # Band order: leaves first (band 0), pushes second (band 1),
+        # dead children last — so leaves DUS at lp directly, and the
+        # push band shifts down by n_leaf via a double-buffer
+        # dynamic_slice (both contiguous copies). Garbage tails land
+        # above the new lp / sp, where buffer semantics never read.
+        band = jnp.where(leaf, oiota,
+                         jnp.where(push, PC + oiota, 2 * PC + oiota))
+        sorted_cols = jax.lax.sort(
+            (band, *(child_blk[:, c] for c in range(K))), num_keys=1)
+        comp = jnp.stack(sorted_cols[1:], axis=1)             # [PC, K]
+        LBUF = jax.lax.dynamic_update_slice(
+            LBUF, jax.lax.slice_in_dim(comp, 2 * WW, K, axis=1),
+            (lp, jnp.int32(0)))
+        dbuf = jnp.concatenate(
+            [comp, jnp.zeros((PC, K), jnp.uint32)], axis=0)
+        shifted = jax.lax.dynamic_slice(
+            dbuf, (n_leaf, jnp.int32(0)), (PC, K))
+        STK = jax.lax.dynamic_update_slice(
+            STK, shifted, (base, jnp.int32(0)))
         return (STK, base + n_push, LBUF, lp + n_leaf, OUT, op, total, ovf,
                 n_it + 1, lseen)
 
@@ -822,7 +870,8 @@ def _bk_fused(g: CSRGraph, rank: np.ndarray, roots: np.ndarray, *,
               collect: bool = False, devices=None,
               root_chunk: int = DEFAULT_ROOT_CHUNK,
               stack_words: int = 1 << 23, out_budget: int = 1 << 17,
-              max_inflight: int = 8, iter_budget: int | None = None):
+              max_inflight: int = 8, iter_budget: int | None = None,
+              warm_only: bool = False):
     """Count (or enumerate) maximal cliques rooted at `roots` via
     `bk_fused_chunk`, dispatched asynchronously in waves round-robin over
     `devices` (the multi-chip fan-out hook — parallel/multi.py). Returns
@@ -856,8 +905,8 @@ def _bk_fused(g: CSRGraph, rank: np.ndarray, roots: np.ndarray, *,
         # per-round cost (W=128 hot job: 4.9s at 1024/2048, 4.1s at
         # 4096/8192, r04 sweep); narrow tiers stay small — their jobs are
         # sub-second and larger push_caps made per-round slot ops slower
-        batch = 4096 if W >= 128 else 1024
-        push_cap = max(W, 2 * batch)
+        batch = _PLAN_OVERRIDES.get("batch", 4096 if W >= 128 else 1024)
+        push_cap = max(W, _PLAN_OVERRIDES.get("push_mult", 2) * batch)
         leaf_cap = max(push_cap, (1 << 22) // (WW + 1))
         FB = min(1 << 16, leaf_cap)
         in_block = IN
@@ -901,6 +950,24 @@ def _bk_fused(g: CSRGraph, rank: np.ndarray, roots: np.ndarray, *,
     for tchunk, WW in _plan_root_chunks(dag_deg, roots, root_chunk, pad_id):
         for chunk in _indeg_sub_chunks(tchunk, WW, indeg_all, pad_id):
             queue.append((chunk, WW, plan(chunk, WW), None))
+
+    if warm_only:
+        # compile every executable the real run will need — including the
+        # resume variants — by dispatching all-pad chunks of the real
+        # shapes (n0 = 0, so each program returns immediately). This is
+        # the honest warm-up for benchmark protocols (ADVICE r04 item 3:
+        # warming on roots=arange(64) compiled none of the real tier
+        # shapes, so most compiles landed inside the timed section).
+        seen = set()
+        for chunk, WW, pl, _ in queue:
+            key = (len(chunk), WW, pl)
+            if key in seen:
+                continue
+            seen.add(key)
+            padc = np.full(len(chunk), pad_id, np.int32)
+            _c, _w, _p, keep, res = dispatch(0, (padc, WW, pl, None))
+            dispatch(0, (padc, WW, pl, (keep, res[1], 0)))
+        return 0, None
 
     total = 0
     cliques: list[frozenset] | None = [] if collect else None
@@ -963,6 +1030,7 @@ def bron_kerbosch(
     collect_budget: int = 1 << 17,
     hub_threshold: int = 1024,
     direct: bool = False,
+    warm_compile: bool = False,
 ):
     """Enumerate/count all maximal cliques of the undirected graph g.
 
@@ -997,6 +1065,13 @@ def bron_kerbosch(
 
     roots_all = (np.arange(n, dtype=np.int32) if roots is None
                  else np.asarray(roots, dtype=np.int32))
+
+    if warm_compile:
+        # compile (only) every kernel variant the real run needs; see
+        # _bk_fused warm_only. Returns 0.
+        _bk_fused(g, rank, roots_all, collect=collect,
+                  root_chunk=root_chunk, warm_only=True)
+        return (0, []) if collect else 0
 
     if not direct or collect:
         # fused DAG-universe path (collect mode is only implemented here)

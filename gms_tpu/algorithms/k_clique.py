@@ -247,14 +247,30 @@ def kclique_count_chunk(nbr, chunk, state, *, w_words: int, k: int,
     with resume=True and the returned state until done (pass a dummy
     state tuple when resume=False).
     """
+    adj, S0 = build_local_adj(nbr, chunk, w_words=w_words)
+    return kc_stack_machine(adj, S0, state, w_words=w_words, k=k, cap=cap,
+                            batch=batch, iter_budget=iter_budget,
+                            resume=resume)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "w_words", "k", "cap", "batch", "iter_budget", "resume"))
+def kc_stack_machine(adj, S0, state, *, w_words: int, k: int, cap: int,
+                     batch: int, iter_budget: int = 1 << 30,
+                     resume: bool = False):
+    """The device-resident work-stack of `kclique_count_chunk` as a pure
+    function of the PREBUILT local DAG universe (adj uint32[C, W, WW],
+    S0 uint32[C, WW]; pad roots must have S0 = 0). Split out so the
+    memory-scaling sharded plan (parallel/sharding.py, k >= 6 path) can
+    ring-build the local adjacency from table shards and reuse the
+    identical kernel."""
     WW = w_words
     W = 32 * WW
-    C = chunk.shape[0]
+    C = adj.shape[0]
     BW = batch * W
     K = WW + 1                 # stack row: S | meta (R*256 + rem)
     cap_total = cap + BW
     assert cap >= max(C, batch)
-    adj, S0 = build_local_adj(nbr, chunk, w_words=WW)
 
     if resume:
         SM, sp0, total0 = state

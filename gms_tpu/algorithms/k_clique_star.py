@@ -44,7 +44,7 @@ import jax.numpy as jnp
 from gms_tpu.graphs.csr import CSRGraph
 from gms_tpu.graphs.tiles import PaddedGraph, SENTINEL
 from gms_tpu.preprocessing import degeneracy
-from gms_tpu.algorithms.k_clique import _bucket, _cumsum_i32, plan_tier_chunks
+from gms_tpu.algorithms.k_clique import plan_tier_chunks
 from gms_tpu.algorithms.bron_kerbosch import _onehot_masks
 
 DEFAULT_ROOT_CHUNK = 4096
@@ -219,7 +219,12 @@ def star_fused_chunk(nbr, rank_pad, chunk, state, *, w_words: int, k: int,
         rpos = jnp.arange(B, dtype=jnp.int32)
         idx = sp - 1 - rpos                                   # top-first
         inb = idx >= 0
-        prows = jnp.take(STK, jnp.maximum(idx, 0), axis=0, mode="clip")
+        # two-step pop: contiguous dynamic_slice window + in-window
+        # gather (see bron_kerbosch.py — random-row stack gathers cost
+        # 0.14ms/round; sp <= cap <= cap_total - PC so no clamping)
+        wstart = jnp.maximum(sp - B, 0)
+        win = jax.lax.dynamic_slice(STK, (wstart, jnp.int32(0)), (B, K))
+        prows = jnp.take(win, jnp.clip(idx - wstart, 0, B - 1), axis=0)
         S = jnp.where(inb[:, None],
                       jax.lax.slice_in_dim(prows, 0, WW, axis=1),
                       jnp.uint32(0))
@@ -278,26 +283,34 @@ def star_fused_chunk(nbr, rank_pad, chunk, state, *, w_words: int, k: int,
             jnp.where(leaf[:, None], jax.lax.population_count(star_bits), 0),
             dtype=jnp.int64)
         if emit:
-            lcum = _cumsum_i32(leaf)
             out_blk = jnp.concatenate(
                 [cR, star_bits, pR.astype(jnp.uint32)[:, None]], axis=1)
-            dst = jnp.where(leaf, jnp.minimum(op, out_cap) + lcum - 1,
-                            jnp.int32(ocap_total))
-            OUT = OUT.at[dst].set(out_blk, mode="drop")
-            op = op + lcum[-1]
+            oband = jnp.where(leaf, oiota, PC + oiota)
+            osorted = jax.lax.sort(
+                (oband, *(out_blk[:, c] for c in range(OK))), num_keys=1)
+            OUT = jax.lax.dynamic_update_slice(
+                OUT, jnp.stack(osorted[1:], axis=1),
+                (jnp.minimum(op, out_cap), jnp.int32(0)))
+            op = op + jnp.sum(leaf, dtype=jnp.int32)
             ovf = ovf | (op > out_cap)
 
         push = valid_j & (prem > 1) & (pcS >= prem - 1)
-        pcum = _cumsum_i32(push)
-        n_push = pcum[-1]
+        n_push = jnp.sum(push, dtype=jnp.int32)
         ovf = ovf | (base + n_push > cap)
         child_blk = jnp.concatenate(
             [cS, cI, cR,
              ((pR.astype(jnp.uint32) * 256)
               + (prem - 1).astype(jnp.uint32))[:, None]], axis=1)
-        STK = STK.at[jnp.where(push, base + pcum - 1,
-                               jnp.int32(cap_total))].set(
-            child_blk, mode="drop")
+        # compaction by ONE variadic bitonic sort + a contiguous
+        # dynamic_update_slice (see bron_kerbosch.py: every row-granular
+        # scatter/gather pays a per-row DMA tax — the sort network moves
+        # rows through vector registers); garbage tail rows land above
+        # the new sp, never read
+        band = jnp.where(push, oiota, PC + oiota)
+        sorted_cols = jax.lax.sort(
+            (band, *(child_blk[:, c] for c in range(K))), num_keys=1)
+        STK = jax.lax.dynamic_update_slice(
+            STK, jnp.stack(sorted_cols[1:], axis=1), (base, jnp.int32(0)))
         return (STK, base + n_push, OUT, op, ncl, nst, ovf, n_it + 1)
 
     st = (STK, n0, OUT0, op0, ncl0, nst0, jnp.bool_(False), jnp.int32(0))

