@@ -53,6 +53,9 @@ EXTRA_SCALES = {
                                         str(min(SCALE, 14)))),
     "k_clique_star": int(os.environ.get("BENCH_STAR_SCALE",
                                         str(min(SCALE, 12)))),
+    "coloring": int(os.environ.get("BENCH_COLORING_SCALE",
+                                   str(min(SCALE, 16)))),
+    "lp_auc": int(os.environ.get("BENCH_LP_SCALE", str(min(SCALE, 16)))),
 }
 EXTRA_BUDGET = int(os.environ.get("BENCH_EXTRA_BUDGET", "900"))
 
@@ -232,6 +235,57 @@ def _run_extra(name: str, scale: int) -> dict:
                 "seconds": dt, "scale": scale, "k": 4,
                 "stars_per_sec": n / dt if dt else None,
                 "vs_baseline": base_s / dt if base_s else None}
+    if name == "coloring":
+        from gms_tpu.algorithms import coloring as gc
+
+        run = lambda: gc.jones_plassmann(g, speculative=True,
+                                         priority="degree")
+        c = run()                                  # compile + converge
+        assert gc.verify_coloring(g, c) and gc.verify_degree_bound(g, c)
+        colors = gc.unique_colors_count(c)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run()
+            ts.append(time.perf_counter() - t0)
+        dt = min(ts)
+        variants = ref.get(f"coloring_scale{scale}_trials",
+                           {}).get("variants", [])
+        # best NON-DEGENERATE reference variant (colors reported and
+        # <= 500 — excludes the 0.002s/9856-color trivial assignment)
+        cand = [(t, cc) for t, cc in variants if cc is not None and cc <= 500]
+        base = min(cand) if cand else None
+        return {"seconds": dt, "colors": int(colors), "scale": scale,
+                "variant": "jp-spec-lf (best of 3 trials)",
+                "ref_best_seconds": base[0] if base else None,
+                "ref_best_colors": base[1] if base else None,
+                "vs_baseline": base[0] / dt if base else None}
+    if name == "lp_auc":
+        from gms_tpu.algorithms import link_prediction as lp
+
+        m = g.num_edges_undirected
+        g_train, g_test = lp.extract_random_test_edges(
+            g, int(0.01 * m), seed=1)
+        plan = lp.AUCPlan(g, g_train, g_test, 100000, metric="jaccard",
+                          seed=2)
+        auc, dt = plan.run_steady(8)
+        trials = ref.get(f"lp_scale{scale}_trial_seconds", {}).get(
+            "trials", [])
+        base = min(trials[0:3]) if len(trials) >= 3 else None  # jaccard band
+        row = {"auc": round(auc, 4), "seconds": dt, "scale": scale,
+               "samples": 100000, "metric": "jaccard",
+               "protocol": "steady (8 chained evaluations, one fetch)",
+               "vs_baseline": base / dt if base else None}
+        # the MXU all-pairs top-q sweep vs the reference's ranking kernel
+        t0 = time.perf_counter()
+        edges, scores = lp.link_prediction_similarity(
+            g_train, 100, metric="jaccard")
+        ap = time.perf_counter() - t0
+        row["all_pairs_topq_seconds"] = ap
+        row["all_pairs_q"] = int(len(edges))
+        if len(trials) >= 8:
+            row["all_pairs_vs_baseline"] = trials[7] / ap
+        return row
     raise ValueError(name)
 
 

@@ -96,6 +96,200 @@ def sample_non_edges(
     return out
 
 
+def _sample_non_edges_fast(
+    g: CSRGraph, count: int, *, seed: int = 0,
+    forbid: CSRGraph | None = None) -> np.ndarray:
+    """Vectorized `sample_non_edges` (sorted-key searchsorted rejection
+    instead of a Python set probe per candidate — the set path cost ~2s
+    alone at 100k samples, more than the whole fused AUC program)."""
+    n = g.num_nodes
+    keys = _edge_key(g.undirected_edge_array(), n)
+    if forbid is not None:
+        keys = np.concatenate([keys, _edge_key(
+            forbid.undirected_edge_array(), n)])
+    keys = np.sort(keys)
+    rng = np.random.default_rng(seed)
+    out = np.empty((count, 2), dtype=np.int32)
+    got = 0
+    while got < count:
+        batch = max(1024, 2 * (count - got))
+        uv = rng.integers(0, n, size=(batch, 2))
+        uv = np.sort(uv, axis=1)
+        uv = uv[uv[:, 0] != uv[:, 1]]
+        k = _edge_key(uv, n)
+        pos = np.searchsorted(keys, k)
+        hit = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)] == k)
+        uv = uv[~hit]
+        take = min(len(uv), count - got)
+        out[got : got + take] = uv[:take]
+        got += take
+    return out
+
+
+class AUCPlan:
+    """Fully-fused sampled AUC (evaluation.h:137-174 semantics): the
+    sampling, degree-tier bucketing, and padded-table upload happen ONCE
+    on the host; a single jitted program then scores every bucket
+    (compare/searchsorted pair kernels for the bulk, hub-bitmap bit tests
+    for hub-side pairs) and reduces (higher + 0.5*equal) on device. The
+    host-orchestrated `score_auc` pays ~60 bucket dispatches x ~20ms
+    tunnel latency per evaluation (~2.1s at scale 16 — VERDICT r04 weak
+    6); this plan pays ONE dispatch.
+
+    Steady protocol (`run_steady`): trial t pairs true[i] against
+    false[(i + shift_t) mod T] with shift chained from the previous
+    counts (the TC discipline — every trial is a real execution, one
+    fetch at the end). Each pairing is an equally valid AUC estimator;
+    trials agree to ~sqrt(p(1-p)/T).
+    """
+
+    def __init__(self, g_true: CSRGraph, g_train: CSRGraph,
+                 g_test: CSRGraph, num_trials: int, *,
+                 metric: str = "jaccard", seed: int = 0):
+        self.num_trials = num_trials
+        test_und = g_test.undirected_edge_array()
+        if len(test_und) == 0:
+            raise ValueError("empty test graph")
+        rng = np.random.default_rng(seed)
+        true_e = test_und[rng.integers(0, len(test_und), size=num_trials)]
+        false_e = _sample_non_edges_fast(g_true, num_trials, seed=seed + 1,
+                                         forbid=g_test)
+        self.true_edges = true_e          # introspection / tests
+        self.false_edges = false_e
+        pg, deg1, hub = _train_tables(g_train)
+        deg = np.asarray(pg.deg)
+
+        e = np.concatenate([true_e, false_e]).astype(np.int32)  # [2T, 2]
+        swap = deg[e[:, 0]] > deg[e[:, 1]]
+        e = np.where(swap[:, None], e[:, ::-1], e)
+
+        def _bkt(d):
+            return np.minimum(
+                np.maximum(32, 1 << np.ceil(
+                    np.log2(np.maximum(d, 1))).astype(np.int64)), pg.d_pad)
+
+        bm_flat, hub_idx, vw, hub_t = hub
+
+        Da = _bkt(deg[e[:, 0]])
+        is_hub = deg[e[:, 1]] > hub_t
+        Db = np.where(is_hub, 0, _bkt(deg[e[:, 1]]))
+        key = Da * (pg.d_pad + 1) + Db
+        order = np.argsort(key, kind="stable")
+        buckets = []       # (da, db, padded device pairs, real length)
+        starts = []
+        for kk in np.unique(key):
+            idx = order[key[order] == kk]
+            da, db = int(kk) // (pg.d_pad + 1), int(kk) % (pg.d_pad + 1)
+            B = max(256, 1 << int(np.ceil(np.log2(len(idx)))))
+            ep = np.zeros((B, 2), np.int32)
+            ep[: len(idx)] = e[idx]
+            buckets.append((da, db, jnp.asarray(ep), len(idx)))
+            starts.append(len(idx))
+        # concat-position -> original pair index (constant permutation)
+        src = np.concatenate(
+            [order[key[order] == kk] for kk in np.unique(key)])
+        inv = np.empty(2 * num_trials, np.int64)
+        pos = 0
+        cpos = []
+        for (da, db, ep, ln), _ in zip(buckets, starts):
+            cpos.append(np.arange(pos, pos + ln))
+            pos += ep.shape[0]
+        inv[src] = np.concatenate(cpos)
+        self._perm_true = jnp.asarray(inv[:num_trials])
+        self._perm_false = jnp.asarray(inv[num_trials:])
+
+        bucket_meta = tuple((da, db) for da, db, _, _ in buckets)
+        bucket_pairs = [ep for _, _, ep, _ in buckets]
+        T = num_trials
+
+        # everything array-valued travels as ARGUMENTS — a closure capture
+        # would bake the multi-GB padded table into the uploaded HLO as a
+        # constant (the remote-compile 413 failure mode)
+        def program(nbr, deg1, bm_flat, hub_idx, perm_t, perm_f, bpairs,
+                    shift):
+            sliced = {}
+
+            def nbr_t(Dt):
+                if Dt not in sliced:
+                    sliced[Dt] = jax.lax.slice_in_dim(nbr, 0, Dt, axis=1)
+                return sliced[Dt]
+
+            parts = []
+            for (da, db), ep in zip(bucket_meta, bpairs):
+                B = ep.shape[0]
+                c = max(256, min(B, (1 << 24) // max(da, 1)))
+                while B % c:
+                    c -= 1
+                if db == 0:
+                    fn = lambda p: pair_scores_hub(
+                        nbr_t(da), deg1, bm_flat, hub_idx, p,
+                        metric=metric, vw=vw)
+                else:
+                    fn = lambda p: pair_scores(
+                        nbr_t(da), deg1, p, metric=metric, nbr_b=nbr_t(db))
+                if c == B:
+                    parts.append(fn(ep))
+                else:
+                    _, sc = jax.lax.scan(
+                        lambda _, p: (None, fn(p)), None,
+                        ep.reshape(B // c, c, 2))
+                    parts.append(sc.reshape(B))
+            scores = jnp.concatenate(parts)
+            st = jnp.take(scores, perm_t)
+            sf = jnp.take(scores, perm_f)
+            sf = jnp.roll(sf, shift)
+            # NaN scores (overlap 0/0) compare false on both tests, i.e.
+            # count 0 — matches the reference's (s1 > s2)/(s1 == s2) C++
+            # float semantics
+            higher = jnp.sum(st > sf, dtype=jnp.int32)
+            equal = jnp.sum(st == sf, dtype=jnp.int32)
+            return jnp.stack([higher, equal])
+
+        self._fn = jax.jit(program)
+
+        def steady(nbr, deg1, bm_flat, hub_idx, perm_t, perm_f, bpairs,
+                   shift0, *, trials: int):
+            def step(shift, _):
+                cnt = program(nbr, deg1, bm_flat, hub_idx, perm_t, perm_f,
+                              bpairs, shift)
+                nxt = (cnt[0] % jnp.int32(T)) + 1
+                return nxt, cnt
+
+            _, counts = jax.lax.scan(step, shift0, None, length=trials)
+            return counts
+
+        self._steady = {}
+
+        def make_steady(trials):
+            if trials not in self._steady:
+                self._steady[trials] = jax.jit(functools.partial(
+                    steady, trials=trials))
+            return self._steady[trials]
+
+        self._make_steady = make_steady
+        self._args = (pg.nbr, deg1, bm_flat, hub_idx, self._perm_true,
+                      self._perm_false, bucket_pairs)
+
+    def run(self, shift: int = 0) -> float:
+        h, eq = (int(x) for x in
+                 self._fn(*self._args, jnp.int32(shift)))
+        return (h + 0.5 * eq) / self.num_trials
+
+    def run_steady(self, trials: int = 8):
+        """(auc_of_last_trial, seconds/trial) — all trials inside ONE
+        program, one fetch; pairings rotate via the count-chained shift."""
+        import time as _time
+
+        fn = self._make_steady(trials)
+        np.asarray(fn(*self._args, jnp.int32(0)))  # compile+first
+        t0 = _time.perf_counter()
+        counts = np.asarray(fn(*self._args, jnp.int32(1)))
+        dt = (_time.perf_counter() - t0) / trials
+        aucs = (counts[:, 0] + 0.5 * counts[:, 1]) / self.num_trials
+        assert aucs.max() - aucs.min() < 0.05, aucs
+        return float(aucs[-1]), dt
+
+
 def add_false_links(
     g_train: CSRGraph, mutations: int, g_test: CSRGraph, *, seed: int = 42
 ) -> CSRGraph:
@@ -158,25 +352,57 @@ def score_auc(
 _scorer_cache: dict = {}
 
 
-def _train_scorer(g_train: CSRGraph, metric: str):
+def _train_tables(g_train: CSRGraph):
+    """(pg, deg1, hub) for a train graph, cached — building them uploads
+    the padded table (~2.5GB at scale 16) through the ~20ms-latency
+    tunnel, which must happen once per train graph, not once per
+    metric/plan. hub = (bm_flat, hub_idx, vw, hub_t) id-space bitmaps for
+    rows with deg > hub_t."""
     key = id(g_train)
     entry = _scorer_cache.get(key)
     if entry is None or entry[0]() is not g_train:
         import weakref
 
         pg = PaddedGraph.from_csr(g_train)
-        entry = (weakref.ref(g_train), pg, _deg_lookup(pg), {})
+        deg = np.asarray(pg.deg)
+        hub_t = 512
+        hubs = np.nonzero(deg > hub_t)[0]
+        vw = (pg.v_pad + 31) // 32
+        if len(hubs):
+            # build from the HOST CSR (reading pg.nbr back would pull the
+            # whole padded table through the tunnel)
+            hdeg = g_train.degrees[hubs].astype(np.int64)
+            hi = np.repeat(np.arange(len(hubs)), hdeg)
+            off = (np.arange(hdeg.sum())
+                   - np.repeat(np.cumsum(hdeg) - hdeg, hdeg))
+            hv = g_train.indices[
+                np.repeat(g_train.indptr[hubs], hdeg) + off]
+            bm = np.zeros((len(hubs), vw), np.uint32)
+            np.bitwise_or.at(bm, (hi, hv >> 5),
+                             np.uint32(1) << (hv & 31).astype(np.uint32))
+            bm_flat = jnp.asarray(bm.reshape(-1))
+        else:
+            bm_flat = jnp.zeros(1, jnp.uint32)
+        hub_idx_np = np.zeros(pg.v_pad + 1, np.int32)
+        hub_idx_np[hubs] = np.arange(len(hubs), dtype=np.int32)
+        hub = (bm_flat, jnp.asarray(hub_idx_np), vw, hub_t)
+        entry = (weakref.ref(g_train), pg, _deg_lookup(pg), hub, {})
         _scorer_cache.clear()  # keep at most one train graph resident
         _scorer_cache[key] = entry
-    _, pg, deg1, per_metric = entry
+    return entry[1], entry[2], entry[3]
+
+
+def _train_scorer(g_train: CSRGraph, metric: str):
+    pg, deg1, hub = _train_tables(g_train)
+    per_metric = _scorer_cache[id(g_train)][4]
     if metric not in per_metric:
         per_metric[metric] = _make_tiered_pair_scorer(
-            g_train, pg, deg1, metric)
+            g_train, pg, deg1, metric, hub)
     return per_metric[metric]
 
 
 def _make_tiered_pair_scorer(g_train: CSRGraph, pg: PaddedGraph, deg1,
-                             metric: str):
+                             metric: str, hub):
     """Pair scorer with DEGREE-TIERED row widths: pairs are bucketed by
     max endpoint degree and scored against a [V, Dt] column slice of the
     padded table, so per-pair work tracks the pair's true degree instead
@@ -199,27 +425,9 @@ def _make_tiered_pair_scorer(g_train: CSRGraph, pg: PaddedGraph, deg1,
 
     # id-space bitmaps for hub rows (deg > hub_t): a degree-biased AUC
     # sample concentrates on hub pairs, and a bit test beats a
-    # log(deg)-pass binary search there (similarity.pair_scores_hub)
-    hub_t = 512
-    hubs = np.nonzero(deg > hub_t)[0]
-    vw = (pg.v_pad + 31) // 32
-    if len(hubs):
-        # build from the HOST CSR (reading pg.nbr back would pull the
-        # whole padded table through the tunnel)
-        hdeg = g_train.degrees[hubs].astype(np.int64)
-        hi = np.repeat(np.arange(len(hubs)), hdeg)
-        off = (np.arange(hdeg.sum())
-               - np.repeat(np.cumsum(hdeg) - hdeg, hdeg))
-        hv = g_train.indices[np.repeat(g_train.indptr[hubs], hdeg) + off]
-        bm = np.zeros((len(hubs), vw), np.uint32)
-        np.bitwise_or.at(bm, (hi, hv >> 5),
-                         np.uint32(1) << (hv & 31).astype(np.uint32))
-        bm_flat = jnp.asarray(bm.reshape(-1))
-    else:
-        bm_flat = jnp.zeros(1, jnp.uint32)
-    hub_idx_np = np.full(pg.v_pad + 1, 0, np.int32)
-    hub_idx_np[hubs] = np.arange(len(hubs), dtype=np.int32)
-    hub_idx = jnp.asarray(hub_idx_np)
+    # log(deg)-pass binary search there (similarity.pair_scores_hub);
+    # built once per train graph by _train_tables
+    bm_flat, hub_idx, vw, hub_t = hub
 
     def scores(edges) -> np.ndarray:
         e = np.asarray(edges, dtype=np.int32)
@@ -259,30 +467,44 @@ def _make_tiered_pair_scorer(g_train: CSRGraph, pg: PaddedGraph, deg1,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block", "n", "q", "metric"))
+    jax.jit, static_argnames=("block", "n", "q", "metric", "packed"))
 def _topq_ublock(nbr_p, deg_p, u_base, *, block: int, n: int, q: int,
-                 metric: str):
+                 metric: str, packed: bool = False):
     """Device top-q of one u-row-block against ALL v > u.
 
     nbr_p: int32[n_pad, D] padded adjacency (n_pad a multiple of `block`,
-    SENTINEL-padded); deg_p: int32[n_pad]. Streams v-strips of `block`
-    vertices through the MXU: each strip is densified ON DEVICE from the
-    padded rows (one scatter), scored as a [block, n_pad] x [block, n_pad]^T
-    matmul, masked to non-edges with u < v < n, and merged into a running
-    top-q with lax.top_k — the whole u-block runs in one dispatch and only
+    SENTINEL-padded), or — packed=True — uint32[n_pad, n_pad/32] id-space
+    bitmap rows. deg_p: int32[n_pad]. Streams v-strips of `block` vertices
+    through the MXU: each strip is densified ON DEVICE (packed: pure-VPU
+    bit unpack; unpacked: one scatter — which XLA lowers to a sort, 64ms
+    per strip at block 2048, the r05 trace's whole loop cost), scored as a
+    [block, n_pad] x [block, n_pad]^T matmul, masked to non-edges with
+    u < v < n, and merged into a running top-q ONLY when the strip beats
+    the current q-th score (a lax.cond skips the top_k sort for the vast
+    majority of strips). The whole u-block runs in one dispatch and only
     (q,) scores + flat indices come back. Replaces the O(V^2) host dense
     matrix (link_prediction.h:42-101 scans all non-edges; VERDICT r02
     weak-item 6)."""
-    n_pad, D = nbr_p.shape
+    n_pad = nbr_p.shape[1] * 32 if packed else nbr_p.shape[0]
     n_strips = n_pad // block
-    bidx = jnp.broadcast_to(
-        jnp.arange(block, dtype=jnp.int32)[:, None], (block, D))
 
-    def densify(base):
-        rows = jax.lax.dynamic_slice_in_dim(nbr_p, base, block, 0)
-        dense = jnp.zeros((block, n_pad), jnp.bfloat16)
-        # SENTINEL columns fall outside n_pad and drop
-        return dense.at[bidx, rows].set(1, mode="drop")
+    if packed:
+        lanes = jnp.arange(32, dtype=jnp.uint32)
+
+        def densify(base):
+            words = jax.lax.dynamic_slice_in_dim(nbr_p, base, block, 0)
+            bits = (words[:, :, None] >> lanes[None, None, :]) & 1
+            return bits.reshape(block, n_pad).astype(jnp.bfloat16)
+    else:
+        D = nbr_p.shape[1]
+        bidx = jnp.broadcast_to(
+            jnp.arange(block, dtype=jnp.int32)[:, None], (block, D))
+
+        def densify(base):
+            rows = jax.lax.dynamic_slice_in_dim(nbr_p, base, block, 0)
+            dense = jnp.zeros((block, n_pad), jnp.bfloat16)
+            # SENTINEL columns fall outside n_pad and drop
+            return dense.at[bidx, rows].set(1, mode="drop")
 
     U = densify(u_base)
     du = jax.lax.dynamic_slice_in_dim(deg_p, u_base, block, 0)
@@ -335,9 +557,18 @@ def _topq_ublock(nbr_p, deg_p, u_base, *, block: int, n: int, q: int,
         flat = score.reshape(-1)
         fidx = (u_ids[:, None].astype(jnp.int64) * n
                 + v_ids[None, :].astype(jnp.int64)).reshape(-1)
-        ts2, sel = jax.lax.top_k(jnp.concatenate([ts, flat]), q)
-        ti2 = jnp.take(jnp.concatenate([ti, fidx]), sel)
-        return ts2, ti2
+
+        def merge(c):
+            ts0, ti0 = c
+            ts2, sel = jax.lax.top_k(jnp.concatenate([ts0, flat]), q)
+            return ts2, jnp.take(jnp.concatenate([ti0, fidx]), sel)
+
+        # merge only when the strip can displace the current q-th score
+        # (strict >: equal candidates lose ties to incumbents exactly as
+        # the stable concat-first top_k always resolved them) — the top_k
+        # sort was ~20ms/strip and almost every strip skips it
+        return jax.lax.cond(jnp.any(flat > ts[q - 1]), merge,
+                            lambda c: c, (ts, ti))
 
     init = (jnp.full((q,), -jnp.inf, jnp.float32), jnp.zeros((q,), jnp.int64))
     # v-strips strictly below the u-block can never satisfy v > u
@@ -345,7 +576,7 @@ def _topq_ublock(nbr_p, deg_p, u_base, *, block: int, n: int, q: int,
 
 
 def link_prediction_similarity(
-    g: CSRGraph, q_best: int, *, metric: str = "jaccard", block: int = 1024
+    g: CSRGraph, q_best: int, *, metric: str = "jaccard", block: int = 2048
 ) -> tuple[np.ndarray, np.ndarray]:
     """Top-q non-edges by similarity (link_prediction.h:42-101).
 
@@ -361,18 +592,32 @@ def link_prediction_similarity(
         return np.zeros((0, 2), np.int32), np.zeros(0, np.float32)
     block = min(block, round_up(n, 128))
     n_pad = round_up(n, block)
-    pg = PaddedGraph.from_csr(g)
-    nbr_p = np.full((n_pad, pg.d_pad), np.int32(np.iinfo(np.int32).max))
-    nbr_p[: min(n, pg.v_pad)] = np.asarray(pg.nbr)[: min(n, pg.v_pad)]
+    # packed id-space bitmap when the [n_pad, n_pad/32] table fits (~n²/8
+    # bytes; scale <= 17): densify is then a pure-VPU bit unpack instead
+    # of a scatter (which XLA lowers to a 64ms-per-strip sort)
+    packed = n_pad * (n_pad // 32) * 4 <= (1 << 31)
+    if packed:
+        bm = np.zeros((n_pad, n_pad // 32), np.uint32)
+        u = np.repeat(np.arange(n, dtype=np.int64),
+                      g.degrees.astype(np.int64))
+        v = g.indices.astype(np.int64)
+        np.bitwise_or.at(bm, (u, v >> 5),
+                         np.uint32(1) << (v & 31).astype(np.uint32))
+        nbr_p = jnp.asarray(bm)
+    else:
+        pg = PaddedGraph.from_csr(g)
+        nbr_np = np.full((n_pad, pg.d_pad), np.int32(np.iinfo(np.int32).max))
+        nbr_np[: min(n, pg.v_pad)] = np.asarray(pg.nbr)[: min(n, pg.v_pad)]
+        nbr_p = jnp.asarray(nbr_np)
     deg_p = np.zeros(n_pad, np.int32)
     deg_p[:n] = g.degrees
-    nbr_p = jnp.asarray(nbr_p)
     deg_p = jnp.asarray(deg_p)
 
     cand_s, cand_i = [], []
     for start in range(0, n, block):
         ts, ti = _topq_ublock(nbr_p, deg_p, jnp.int32(start),
-                              block=block, n=n, q=q_best, metric=metric)
+                              block=block, n=n, q=q_best, metric=metric,
+                              packed=packed)
         cand_s.append(np.asarray(ts))
         cand_i.append(np.asarray(ti))
     scores = np.concatenate(cand_s)

@@ -18,6 +18,9 @@ def main(argv=None):
         return verify
 
     for name, kern in (
+        ("jp-spec", lambda g: gc.jones_plassmann(g, speculative=True)),
+        ("jp-spec-lf", lambda g: gc.jones_plassmann(g, speculative=True,
+                                                    priority="degree")),
         ("jp-random", lambda g: gc.jones_plassmann(g, priority="random")),
         ("jp-lf", lambda g: gc.jones_plassmann(g, priority="degree")),
         ("johansson", lambda g: gc.johansson(g)),

@@ -138,3 +138,13 @@ def test_dense_sparse_components_trigger_and_quality():
     # clique members must share component ranks 0..m-1 (distinct colors)
     colors2 = gc.dense_sparse(g, friend_number=6)
     assert gc.verify_coloring(g, colors2)
+
+
+def test_speculative_jp_valid_and_bounded():
+    """Speculative JP (optimistic mex + priority conflict resolution) must
+    produce a proper coloring within the degree bound on every fixture."""
+    for n, p, seed in ((40, 0.3, 1), (120, 0.1, 2), (300, 0.05, 3)):
+        g = build_csr(random_graph(n, p, seed=seed), num_nodes=n)
+        colors = gc.jones_plassmann(g, speculative=True, seed=seed)
+        assert gc.verify_coloring(g, colors)
+        assert gc.verify_degree_bound(g, colors)

@@ -149,3 +149,25 @@ def test_topq_blockwise_multiblock_all_metrics():
         # returned pairs really are non-edges with u < v
         assert (edges[:, 0] < edges[:, 1]).all()
         assert all(int(v) not in nbrs[int(u)] for u, v in edges)
+
+
+def test_auc_plan_matches_oracle_pairing():
+    """AUCPlan (fused one-dispatch AUC) must equal the oracle-scored
+    comparison on its own sampled pairs, for every metric family."""
+    import numpy as np
+    from gms_tpu.algorithms.similarity import vertex_similarity_oracle
+
+    g = build_csr(random_graph(120, 0.12, seed=9), num_nodes=120)
+    train, test = lp.extract_random_test_edges(g, 60, seed=1)
+    for metric in ("jaccard", "common_neighbors", "adamic_adar", "overlap"):
+        plan = lp.AUCPlan(g, train, test, 300, metric=metric, seed=2)
+        auc = plan.run()
+        st = vertex_similarity_oracle(
+            train, plan.true_edges, metric).astype(np.float32)
+        sf = vertex_similarity_oracle(
+            train, plan.false_edges, metric).astype(np.float32)
+        want = (np.sum(st > sf) + 0.5 * np.sum(st == sf)) / 300
+        assert abs(auc - want) < 1e-6, metric
+        # steady protocol: chained pairings agree statistically
+        auc2, _dt = plan.run_steady(3)
+        assert abs(auc2 - want) < 0.1
