@@ -56,6 +56,7 @@ EXTRA_SCALES = {
     "coloring": int(os.environ.get("BENCH_COLORING_SCALE",
                                    str(min(SCALE, 16)))),
     "lp_auc": int(os.environ.get("BENCH_LP_SCALE", str(min(SCALE, 16)))),
+    "vf2": int(os.environ.get("BENCH_VF2_SCALE", str(min(SCALE, 14)))),
 }
 EXTRA_BUDGET = int(os.environ.get("BENCH_EXTRA_BUDGET", "900"))
 
@@ -285,6 +286,30 @@ def _run_extra(name: str, scale: int) -> dict:
         row["all_pairs_q"] = int(len(edges))
         if len(trials) >= 8:
             row["all_pairs_vs_baseline"] = trials[7] / ap
+        return row
+    if name == "vf2":
+        import numpy as np
+
+        from gms_tpu.algorithms import subgraph_iso as si
+
+        row = {"scale": scale, "induced": True, "limit": 1,
+               "protocol": "best of 3 warm trials per pattern"}
+        for pname, pedges in si.VF2_PATTERNS.items():
+            p = build_csr(np.array(pedges, dtype=np.int64))
+            res = si.subgraph_isomorphism(g, p, induced=True, limit=1)
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                res = si.subgraph_isomorphism(g, p, induced=True, limit=1)
+                ts.append(time.perf_counter() - t0)
+            dt = min(ts)
+            base = ref.get(f"vf2_{pname}_scale{scale}_solve_seconds")
+            row[pname] = {"seconds": dt, "found": int(len(res)),
+                          "ref_solve_seconds": base,
+                          "vs_baseline": base / dt if base else None}
+        # headline = the pattern where the search actually backtracks
+        row["seconds"] = row.get("c5", {}).get("seconds")
+        row["vs_baseline"] = row.get("c5", {}).get("vs_baseline")
         return row
     raise ValueError(name)
 

@@ -871,7 +871,7 @@ def _bk_fused(g: CSRGraph, rank: np.ndarray, roots: np.ndarray, *,
               root_chunk: int = DEFAULT_ROOT_CHUNK,
               stack_words: int = 1 << 23, out_budget: int = 1 << 17,
               max_inflight: int = 8, iter_budget: int | None = None,
-              warm_only: bool = False):
+              warm_only: bool = False, sink=None):
     """Count (or enumerate) maximal cliques rooted at `roots` via
     `bk_fused_chunk`, dispatched asynchronously in waves round-robin over
     `devices` (the multi-chip fan-out hook — parallel/multi.py). Returns
@@ -1012,10 +1012,18 @@ def _bk_fused(g: CSRGraph, rank: np.ndarray, roots: np.ndarray, *,
                 gid, members = (np.asarray(a) for a in
                                 decode_clique_members(
                                     table(di)[0], keep[0], state[2]))
-                for l in range(n_out):
-                    ms = members[l]
-                    cliques.append(
-                        frozenset([int(gid[l]), *ms[ms >= 0].tolist()]))
+                if sink is not None:
+                    # STREAMED enumerate (VERDICT r04 item 9): hand the
+                    # decoded chunk arrays to the caller incrementally —
+                    # no per-clique Python objects, so the 165M-clique
+                    # graphs the count path handles stay enumerable
+                    if n_out:
+                        sink(gid[:n_out], members[:n_out])
+                else:
+                    for l in range(n_out):
+                        ms = members[l]
+                        cliques.append(
+                            frozenset([int(gid[l]), *ms[ms >= 0].tolist()]))
     return total, cliques
 
 
@@ -1031,6 +1039,7 @@ def bron_kerbosch(
     hub_threshold: int = 1024,
     direct: bool = False,
     warm_compile: bool = False,
+    sink=None,
 ):
     """Enumerate/count all maximal cliques of the undirected graph g.
 
@@ -1074,10 +1083,15 @@ def bron_kerbosch(
         return (0, []) if collect else 0
 
     if not direct or collect:
-        # fused DAG-universe path (collect mode is only implemented here)
+        # fused DAG-universe path (collect mode is only implemented here).
+        # sink(gid int32[L], members int32[L, W]) streams decoded clique
+        # chunks to the caller (members -1-padded; the clique is
+        # {gid[l]} ∪ members[l][members[l] >= 0]); with a sink, the
+        # returned clique list is None.
         t, cl = _bk_fused(g, rank, roots_all, collect=collect,
-                          root_chunk=root_chunk, out_budget=collect_budget)
-        return (t, cl) if collect else t
+                          root_chunk=root_chunk, out_budget=collect_budget,
+                          sink=sink)
+        return (t, None if sink is not None else cl) if collect else t
 
     # direct=True count: full-neighborhood cand/fini work stack for narrow
     # roots; wide roots (deg > hub_threshold, fenced <= 1024) go fused

@@ -38,6 +38,15 @@ from gms_tpu.graphs.csr import CSRGraph
 from gms_tpu.graphs.tiles import PaddedGraph, SENTINEL
 from gms_tpu.algorithms.k_clique import _bucket
 
+# head-to-head pattern set shared by scripts/measure_reference.py (which
+# writes them as .el files for the reference binary's --param pattern-file
+# grammar) and bench.py's vf2 extra metric — keep the two sides identical
+VF2_PATTERNS = {
+    "k4": ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)),
+    "p4": ((0, 1), (1, 2), (2, 3)),
+    "c5": ((0, 1), (1, 2), (2, 3), (3, 4), (4, 0)),
+}
+
 
 def _search_order(pattern: CSRGraph):
     """Connected search order + per-position (parents, nonparents)."""
@@ -69,27 +78,49 @@ def _search_order(pattern: CSRGraph):
 @functools.partial(
     jax.jit, static_argnames=("d", "parents", "nonparents", "induced")
 )
-def _feasible(M, cand, nbr, deg1, pdeg_d, *, d: int, parents: tuple,
+def _feasible(M, cand, nbr, deg1, bmp, pdeg_d, *, d: int, parents: tuple,
               nonparents: tuple, induced: bool):
     """bool[N, Dc]: candidate c extends mapping M at position d.
 
-    pdeg_d is a TRACED scalar (one compile per level, not per degree value)."""
+    pdeg_d is a TRACED scalar (one compile per level, not per degree value).
+    bmp: uint32[V, vw] id-space bitmap adjacency, or a [1, 1] dummy —
+    when real, every membership test is ONE word probe instead of a
+    log(D)-pass binary search over the padded row (13 gather passes over
+    [N, Dc] at scale 14 — the r05 VF2 head-to-head profile)."""
     ok = cand != SENTINEL
     ok &= M[:, 0][:, None] >= 0  # dead (padding) rows emit nothing
     ok &= jnp.take(deg1, cand, mode="clip") >= pdeg_d
     for j in range(d):
         ok &= cand != M[:, j][:, None]
+    use_bmp = bmp.shape[0] > 1
+    if use_bmp:
+        V, vw = bmp.shape
+        flat = bmp.reshape(-1)
+
+        def vm(rows_idx, queries):
+            q = jnp.clip(queries, 0, 32 * vw - 1)
+            r = jnp.clip(rows_idx, 0, V - 1)
+            w = jnp.take(flat, r[:, None] * vw + (q >> 5))
+            return ((w >> (q & 31).astype(jnp.uint32)) & 1) == 1
+
+        for p in parents:
+            ok &= vm(M[:, p], cand)
+        if induced:
+            for p in nonparents:
+                ok &= ~vm(M[:, p], cand)
+        return ok
+
     def member(rows, queries):
         idx = jnp.minimum(jnp.searchsorted(rows, queries), rows.shape[0] - 1)
         return rows[idx] == queries
-    vm = jax.vmap(member)
+    vm2 = jax.vmap(member)
     for p in parents:
         rows = jnp.take(nbr, M[:, p], axis=0, mode="clip")
-        ok &= vm(rows, cand)
+        ok &= vm2(rows, cand)
     if induced:
         for p in nonparents:
             rows = jnp.take(nbr, M[:, p], axis=0, mode="clip")
-            ok &= ~vm(rows, cand)
+            ok &= ~vm2(rows, cand)
     return ok
 
 
@@ -97,25 +128,29 @@ def _feasible(M, cand, nbr, deg1, pdeg_d, *, d: int, parents: tuple,
 def _emit(M, cand, ok, *, d: int, cap: int):
     """Compact children M' (position d := cand) into a cap-sized buffer.
 
-    r04 rewrite (VERDICT r03 weak item 6): the old Dc-step sequential scan
-    with per-step scatters was the chip-hostile pattern; now ALL (item,
-    candidate) children compact in one shot — an MXU prefix sum over the
-    flattened ok mask and a single row scatter, with the child rows built
-    by gathering parent rows for the kept slots only."""
-    from gms_tpu.algorithms.k_clique import _cumsum_i32
-
+    One variadic bitonic sort (key + the P child columns as payloads)
+    replaces the [N*Dc, P]-row gather + scatter — row-granular DMA on
+    ~300k 16-byte rows was most of a level's cost (the bron_kerbosch.py
+    r05 compaction lesson); the sort moves rows through vector
+    registers. Valid children land first in key order; the cap-slice is
+    taken after the sort."""
     N, P = M.shape
     Dc = cand.shape[1]
     ND = N * Dc
     flat_ok = ok.reshape(ND)                      # item-major (n, c)
-    cum = _cumsum_i32(flat_ok)
-    n_out = cum[-1]
-    dest = jnp.where(flat_ok, cum - 1, jnp.int32(cap))
-    src_n = jnp.arange(ND, dtype=jnp.int32) // Dc
-    child = jnp.take(M, src_n, axis=0)            # [ND, P]
-    child = child.at[:, d].set(cand.reshape(ND))
-    M_out = jnp.full((cap, P), -1, jnp.int32)
-    M_out = M_out.at[dest].set(child, mode="drop")
+    n_out = jnp.sum(flat_ok, dtype=jnp.int32)
+    iota = jnp.arange(ND, dtype=jnp.int32)
+    key = jnp.where(flat_ok, iota, ND + iota)
+    cols = [jnp.broadcast_to(M[:, j][:, None], (N, Dc)).reshape(ND)
+            if j != d else cand.reshape(ND) for j in range(P)]
+    sorted_ops = jax.lax.sort((key, *cols), num_keys=1)
+    comp = jnp.stack(sorted_ops[1:], axis=1)      # [ND, P], valid first
+    live = (jnp.arange(ND, dtype=jnp.int32) < n_out)[:, None]
+    comp = jnp.where(live, comp, -1)
+    M_out = jax.lax.slice_in_dim(comp, 0, min(cap, ND), axis=0)
+    if cap > ND:
+        M_out = jnp.concatenate(
+            [M_out, jnp.full((cap - ND, P), -1, jnp.int32)], axis=0)
     return M_out, n_out.astype(jnp.int64)
 
 
@@ -150,6 +185,20 @@ def subgraph_isomorphism(
     deg1 = jnp.concatenate([pg.deg, jnp.zeros(1, jnp.int32)])
     nbr = pg.nbr
     col_order = np.asarray(order)
+    # id-space bitmap adjacency for one-word membership probes, gated by
+    # footprint (~V^2/8 bytes); beyond ~1GB _feasible falls back to the
+    # binary-search path via a [1, 1] dummy
+    vw = (g.num_nodes + 31) // 32
+    if g.num_nodes * vw * 4 <= (1 << 30):
+        bmp_np = np.zeros((max(g.num_nodes, 1), vw), np.uint32)
+        uu = np.repeat(np.arange(g.num_nodes, dtype=np.int64),
+                       g.degrees.astype(np.int64))
+        vv = g.indices.astype(np.int64)
+        np.bitwise_or.at(bmp_np, (uu, vv >> 5),
+                         np.uint32(1) << (vv & 31).astype(np.uint32))
+        bmp = jnp.asarray(bmp_np)
+    else:
+        bmp = jnp.zeros((1, 1), jnp.uint32)
 
     roots = np.nonzero(g.degrees >= pdeg[0])[0].astype(np.int32)
     found: list[np.ndarray] = []
@@ -185,8 +234,8 @@ def subgraph_isomorphism(
             continue
         if parents[d]:
             cand = jnp.take(nbr, M[:, parents[d][0]], axis=0, mode="clip")
-            out = _level(M, cand, nbr, deg1, d, parents[d], nonparents[d],
-                         int(pdeg[d]), induced)
+            out = _level(M, cand, nbr, deg1, bmp, d, parents[d],
+                         nonparents[d], int(pdeg[d]), induced)
             if out.shape[0]:
                 stack.append((out, d + 1))
         else:
@@ -198,7 +247,7 @@ def subgraph_isomorphism(
                 ids_pad = np.full(blk, np.int32(SENTINEL))
                 ids_pad[: len(ids)] = ids
                 cand = jnp.broadcast_to(jnp.asarray(ids_pad), (M.shape[0], blk))
-                out = _level(M, cand, nbr, deg1, d, parents[d],
+                out = _level(M, cand, nbr, deg1, bmp, d, parents[d],
                              nonparents[d], int(pdeg[d]), induced)
                 if out.shape[0]:
                     stack.append((out, d + 1))
@@ -208,9 +257,10 @@ def subgraph_isomorphism(
     return res[:limit] if limit is not None else res
 
 
-def _level(M, cand, nbr, deg1, d, parents, nonparents, pdeg_d, induced):
-    ok = _feasible(M, cand, nbr, deg1, jnp.int32(pdeg_d), d=d, parents=parents,
-                   nonparents=nonparents, induced=induced)
+def _level(M, cand, nbr, deg1, bmp, d, parents, nonparents, pdeg_d,
+           induced):
+    ok = _feasible(M, cand, nbr, deg1, bmp, jnp.int32(pdeg_d), d=d,
+                   parents=parents, nonparents=nonparents, induced=induced)
     nc = int(jnp.sum(ok, dtype=jnp.int64))
     if nc == 0:
         return jnp.zeros((0, M.shape[1]), jnp.int32)

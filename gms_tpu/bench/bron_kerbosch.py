@@ -24,6 +24,9 @@ def main(argv=None):
             kernel=lambda g, o=ordering: bk.bron_kerbosch(g, ordering=o),
             verifier=verify if args.verify else None,
             labels=(label + "-tpu",),
+            # PAPIW analog: derived throughput counters per trial
+            counters=lambda r, s: {"bk_cliques": int(r),
+                                   "bk_cliques_per_sec": int(r) / s},
         )
 
 

@@ -24,6 +24,9 @@ def main(argv=None):
         kernel=lambda g, rank: k_clique.kclique_count(g, k, rank=rank),
         verifier=verify if args.verify else None,
         labels=(f"kclique-k{k}-degeneracy-tpu",),
+        # PAPIW analog: derived throughput counters per trial
+        counters=lambda r, s: {f"kclique{k}_count": int(r),
+                               f"kclique{k}_per_sec": int(r) / s},
     )
     # ADG preprocessing variant (the reference's epsilon sweep headline)
     for eps in (0.1, 0.01):
@@ -34,6 +37,8 @@ def main(argv=None):
             kernel=lambda g, rank: k_clique.kclique_count(g, k, rank=rank),
             verifier=verify if args.verify else None,
             labels=(f"kclique-k{k}-adg-eps{eps}-tpu",),
+            counters=lambda r, s: {f"kclique{k}_count": int(r),
+                                   f"kclique{k}_per_sec": int(r) / s},
         )
 
 

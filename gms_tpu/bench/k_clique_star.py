@@ -25,7 +25,10 @@ def main(argv=None):
     benchmark.benchmark_kernel(
         args, g, kern,
         verifier=verify if args.verify else None,
-        labels=(f"kcstar-k{k}-count-tpu",))
+        labels=(f"kcstar-k{k}-count-tpu",),
+        # PAPIW analog: derived throughput counters per trial
+        counters=lambda r, s: {"kcstar_cliques_per_sec": r[0] / s,
+                               "kcstar_star_total": int(r[1])})
 
 
 if __name__ == "__main__":

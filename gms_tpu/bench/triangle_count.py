@@ -12,12 +12,22 @@ def main(argv=None):
     def verify(g, result):
         return int(result) == tc.triangle_count_oracle(g)
 
+    state = {}
+
+    def build(g):
+        state["plan"] = tc.TrianglePlan(g)
+        return state["plan"]
+
     benchmark.benchmark_kernel_bk(
         args, g,
-        build=lambda g: tc.TrianglePlan(g),
+        build=build,
         kernel=lambda plan: plan.run(),
         verifier=verify if args.verify else None,
         labels=("tc-total-tiered-tpu",),
+        # PAPIW analog: modeled gather traffic -> achieved GB/s
+        counters=lambda r, s: {
+            "tc_edges_per_sec": g.num_edges_undirected / s,
+            "tc_model_gbps": state["plan"].traffic_bytes() / s / 1e9},
     )
 
     def pv_kernel(g):

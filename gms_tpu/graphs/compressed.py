@@ -337,6 +337,77 @@ def varint_decode_graph(data: dict) -> CSRGraph:
                     directed=data["directed"])
 
 
+def varint_encode_graph_words(g: CSRGraph) -> dict:
+    """WORD-packed delta varint (VarintWordBasedGraph role — the
+    reference ships both byte- and word-based variants,
+    varint_byte_based_graph.h:7 / builder.h csrToVarintWordBased:656):
+    each token is a run of uint32 words carrying 31 payload bits plus an
+    MSB continuation bit. Wider tokens than the byte codec for small
+    gaps, but decode touches word-aligned lanes only — the layout that
+    vectorizes on 32-bit registers. Same delta scheme as
+    `varint_encode_graph` (first token per row raw, rest gap-1)."""
+    n = g.num_nodes
+    m = int(g.num_edges)
+    idx = g.indices.astype(np.int64)
+    indptr = np.asarray(g.indptr, dtype=np.int64)
+    starts = indptr[:-1][g.degrees > 0]
+    vals = np.empty(m, dtype=np.int64)
+    if m:
+        vals[1:] = idx[1:] - idx[:-1] - 1
+        vals[starts] = idx[starts]
+    nw = np.ones(m, dtype=np.int64)
+    v = vals >> 31
+    while v.any():
+        nw[v > 0] += 1
+        v >>= 31
+    cum = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(nw, out=cum[1:])
+    payload = np.zeros(int(cum[-1]), dtype=np.uint32)
+    for w in range(int(nw.max(initial=0))):
+        sel = nw > w
+        more = nw > w + 1
+        payload[cum[:-1][sel] + w] = (
+            ((vals[sel] >> (31 * w)) & 0x7FFFFFFF)
+            | np.where(more[sel], np.int64(1) << 31, 0)
+        ).astype(np.uint32)
+    offsets = cum[indptr]
+    return {"payload": payload.tobytes(), "offsets": offsets,
+            "num_nodes": n, "directed": g.directed(), "word": True}
+
+
+def varint_decode_graph_words(data: dict) -> CSRGraph:
+    buf = np.frombuffer(data["payload"], dtype=np.uint32)
+    offsets = data["offsets"]
+    n = data["num_nodes"]
+    cont = (buf >> 31) > 0
+    ends = np.nonzero(~cont)[0]
+    starts = np.concatenate([[0], ends[:-1] + 1])
+    vals = np.zeros(len(ends), dtype=np.int64)
+    width = ends - starts + 1
+    for w in range(int(width.max(initial=0))):
+        sel = width > w
+        vals[sel] |= ((buf[starts[sel] + w] & 0x7FFFFFFF)
+                      .astype(np.int64) << (31 * w))
+    tok_of_word = np.zeros(len(buf) + 1, dtype=np.int64)
+    tok_of_word[ends + 1] = 1
+    tok_of_word = np.cumsum(tok_of_word)
+    indptr = tok_of_word[offsets]
+    m = int(indptr[-1])
+    deg = np.diff(indptr)
+    row_start = indptr[:-1][deg > 0]
+    adj = vals + 1
+    if m:
+        adj[row_start] = vals[row_start]
+    csum = np.cumsum(adj)
+    base = np.zeros(m, dtype=np.int64)
+    if m:
+        base[:] = np.repeat(csum[row_start] - vals[row_start],
+                            deg[deg > 0])
+    indices = csum - base
+    return CSRGraph(indptr, indices.astype(np.int32),
+                    directed=data["directed"])
+
+
 # ---------------------------------------------------------------------------
 # hybrid per-row representation (Bit_Tree_Graph role)
 # ---------------------------------------------------------------------------

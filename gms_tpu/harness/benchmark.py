@@ -21,7 +21,7 @@ import time
 
 import numpy as np
 
-from gms_tpu.harness.printer import Printer
+from gms_tpu.harness.printer import Printer, print_param
 from gms_tpu.harness.timers import Timer, _sync
 
 
@@ -37,7 +37,20 @@ def _trial_row(trial_time, *, verified=None, verify_time=None,
     p.print()
 
 
-def benchmark_kernel(args, g, kernel, verifier=None, labels=(), warmup=True):
+def _counter_rows(counters, result, seconds):
+    """PAPIW analog (common/papi/papiw.h:45-100 prints HW-counter values
+    inline with benchmark output): derived per-trial throughput counters
+    as `@@# <name> <value>` rows. `counters(result, seconds)` returns a
+    {name: value} dict — typically items/sec and, when the kernel carries
+    a traffic model, achieved GB/s."""
+    if counters is None:
+        return
+    for name, value in counters(result, seconds).items():
+        print_param(name, value)
+
+
+def benchmark_kernel(args, g, kernel, verifier=None, labels=(), warmup=True,
+                     counters=None):
     """Time args.trials runs of kernel(g); returns last result.
 
     warmup runs the kernel once untimed first so device compilation
@@ -59,13 +72,15 @@ def benchmark_kernel(args, g, kernel, verifier=None, labels=(), warmup=True):
             verified = verifier(g, result)
             vt = tv.stop()
             print(f"Verification Time:   {vt:3.5f}")
+        _counter_rows(counters, result, t.seconds)
         _trial_row(t.seconds, verified=verified, verify_time=vt, labels=labels)
         times.append(t.seconds)
     print(f"Average Time:        {np.mean(times):3.5f}")
     return result
 
 
-def benchmark_kernel_bk(args, g, build, kernel, verifier=None, labels=(), warmup=True):
+def benchmark_kernel_bk(args, g, build, kernel, verifier=None, labels=(),
+                        warmup=True, counters=None):
     """Build device structure (timed once), then run trials on it."""
     t = Timer()
     t.start()
@@ -88,6 +103,7 @@ def benchmark_kernel_bk(args, g, build, kernel, verifier=None, labels=(), warmup
             verified = verifier(g, result)
             vt = tv.stop()
             print(f"Verification Time:   {vt:3.5f}")
+        _counter_rows(counters, result, tt.seconds)
         _trial_row(tt.seconds, verified=verified, verify_time=vt, labels=labels)
         times.append(tt.seconds)
     print(f"Average Time:        {np.mean(times):3.5f}")
@@ -95,7 +111,8 @@ def benchmark_kernel_bk(args, g, build, kernel, verifier=None, labels=(), warmup
 
 
 def benchmark_kernel_bk_pp(args, g, build, preprocess, kernel,
-                           verifier=None, labels=(), warmup=True):
+                           verifier=None, labels=(), warmup=True,
+                           counters=None):
     """BkPP: per-trial timed preprocessing producing an order/rank, then the
     kernel consuming it (benchmark.h:143-199)."""
     t = Timer()
@@ -124,6 +141,7 @@ def benchmark_kernel_bk_pp(args, g, build, preprocess, kernel,
             verified = verifier(g, result)
             vt = tv.stop()
             print(f"Verification Time:   {vt:3.5f}")
+        _counter_rows(counters, result, tt.seconds)
         _trial_row(tt.seconds, verified=verified, verify_time=vt,
                    preproc_time=pt, labels=labels)
         times.append(tt.seconds)

@@ -41,6 +41,9 @@ TARGETS = {
     # the BEST variant's trial time (min) at --extra-scale
     "coloring": ("coloring", [], "coloring"),
     "lp": ("link_prediction", [], "lp_auc"),
+    # Pipeline row: @@@ t_read t_solve t_verify (subgraphiso_vf2_parallel
+    # .cpp:13-64); baseline records the Solve phase per pattern
+    "vf2": ("subgraphiso_vf2_parallel", [], "vf2"),
 }
 
 
@@ -137,6 +140,7 @@ def main() -> None:
     ap.add_argument("--bk-scales", default="12,13,14",
                     help="comma list of scales for the BK rows")
     ap.add_argument("--star-scale", type=int, default=12)
+    ap.add_argument("--vf2-scale", type=int, default=14)
     ap.add_argument("--targets", default="tc")
     args = ap.parse_args()
     targets = args.targets.split(",")
@@ -212,6 +216,27 @@ def main() -> None:
             key = f"{prefix}_scale{args.extra_scale}_best_trial_seconds"
             data[key] = min(r["all_trials"])
             print(t, key, data[key], file=sys.stderr)
+        elif t == "vf2":
+            from gms_tpu.algorithms.subgraph_iso import VF2_PATTERNS
+
+            s = args.vf2_scale
+            for pname, pedges in VF2_PATTERNS.items():
+                pf = f"/tmp/vf2_pattern_{pname}.el"
+                with open(pf, "w") as f:
+                    for a, b in pedges:
+                        f.write(f"{a} {b}\n")
+                row = measure_first_row(
+                    binary, s, ["-p", f"pattern-file={pf}"], "@@@",
+                    timeout_s=1800)
+                if row:
+                    # @@@ t_read t_solve t_verify ... — Solve phase only
+                    data[f"vf2_{pname}_scale{s}_solve_seconds"] = \
+                        _floats(row)[1]
+                    print("vf2 row:", pname, row, file=sys.stderr)
+            data["vf2_note"] = (
+                f"subgraphiso_vf2_parallel -t 2 -n 1 -g kronecker {s} "
+                "--deg 16 -p pattern-file=<pattern>; induced find-first; "
+                "Solve phase seconds (Pipeline read/solve/verify row)")
 
     with open(path, "w") as f:
         json.dump(data, f, indent=2)

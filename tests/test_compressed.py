@@ -74,6 +74,28 @@ def test_varint_roundtrip(graphs):
         assert len(data["payload"]) < max(4 * g.num_edges, 1) or g.num_edges == 0
 
 
+def test_varint_word_roundtrip(graphs):
+    """Word-packed variant (VarintWordBasedGraph role): exact round-trip,
+    and tokens stay word-aligned (payload a multiple of 4 bytes)."""
+    for g in graphs:
+        data = cp.varint_encode_graph_words(g)
+        g2 = cp.varint_decode_graph_words(data)
+        assert g2 == g
+        assert len(data["payload"]) % 4 == 0
+        # every gap fits one 31-bit word on these graphs: one word/token
+        assert len(data["payload"]) == 4 * g.num_edges
+
+
+def test_varint_word_wide_ids():
+    # ids above 2^31 payload bits per word force continuation words
+    el = np.array([[0, 1], [0, 2], [1, 2]], dtype=np.int64)
+    g = build_csr(el, num_nodes=3)
+    for enc, dec in ((cp.varint_encode_graph, cp.varint_decode_graph),
+                     (cp.varint_encode_graph_words,
+                      cp.varint_decode_graph_words)):
+        assert dec(enc(g)) == g
+
+
 def test_hybrid_roundtrip():
     # a graph with a hub row (dense) plus sparse rows
     el = [[0, i] for i in range(1, 200)] + [[i, i + 1] for i in range(1, 199)]

@@ -151,3 +151,29 @@ def test_per_vertex_tc_scale12_matches_total():
     pv = triangle_count_per_vertex(g)
     assert int(pv.sum()) == 3 * triangle_count(g)
     assert pv.dtype == np.int64
+
+
+@slow
+def test_bk_streamed_enumerate_scale12_deg16():
+    """Streamed enumerate (VERDICT r04 item 9): the sink callback receives
+    decoded (gid, members) chunk arrays — no per-clique Python objects —
+    and the streamed totals must match the count path at bench density
+    (725,641 maximal cliques)."""
+    import numpy as np
+    from gms_tpu.algorithms.bron_kerbosch import bron_kerbosch
+
+    g = rmat(12, 16)
+    stats = {"n": 0, "members": 0, "min_size": 1 << 30}
+
+    def sink(gid, members):
+        assert gid.ndim == 1 and members.ndim == 2
+        assert len(gid) == len(members)
+        stats["n"] += len(gid)
+        sizes = 1 + (members >= 0).sum(axis=1)
+        stats["members"] += int(sizes.sum())
+        stats["min_size"] = min(stats["min_size"], int(sizes.min()))
+
+    total, cl = bron_kerbosch(g, collect=True, sink=sink)
+    assert cl is None
+    assert total == 725641 == stats["n"]
+    assert stats["min_size"] >= 1 and stats["members"] >= 2 * total
