@@ -185,6 +185,56 @@ def main() -> None:
         assert len({r["count"] for r in krows}) == 1, krows
         out["memory_kclique"] = krows
 
+        # memory-scaling k >= 6 (VERDICT r04 item 4): ring-built local
+        # adjacency feeding the fused work-stack, table shrink ~1/N
+        g6 = graph(min(args.scale, 11))
+        k6rows = []
+        k6base = None
+        for n in sizes:
+            mesh = make_mesh(devices=np.array(devs[:n]))
+            t0 = time.perf_counter()
+            plan = VertexShardedKCliquePlan(g6, mesh, k=6)
+            cnt = plan.run()
+            dt = time.perf_counter() - t0
+            if k6base is None:
+                k6base = plan.table_bytes_per_device
+            k6rows.append({
+                "devices": n, "scale": min(args.scale, 11), "k": 6,
+                "seconds": dt, "count": cnt,
+                "table_bytes_per_device": plan.table_bytes_per_device,
+                "table_shrink": k6base / plan.table_bytes_per_device,
+            })
+            print(f"@@@ memory_kclique6 {n} count={cnt} "
+                  f"shrink={k6rows[-1]['table_shrink']:.2f}x")
+        assert len({r["count"] for r in k6rows}) == 1, k6rows
+        out["memory_kclique6"] = k6rows
+
+        # memory-scaling Bron-Kerbosch (VERDICT r04 item 3): DAG
+        # adjacency + lower lists both sharded; exact counts, ~1/N tables
+        from gms_tpu.parallel.sharding import VertexShardedBKPlan
+
+        gb = graph(min(args.scale, 11))
+        brows = []
+        bbase = None
+        for n in sizes:
+            mesh = make_mesh(devices=np.array(devs[:n]))
+            t0 = time.perf_counter()
+            plan = VertexShardedBKPlan(gb, mesh)
+            cnt = plan.run()
+            dt = time.perf_counter() - t0
+            if bbase is None:
+                bbase = plan.table_bytes_per_device
+            brows.append({
+                "devices": n, "scale": min(args.scale, 11),
+                "seconds": dt, "count": cnt,
+                "table_bytes_per_device": plan.table_bytes_per_device,
+                "table_shrink": bbase / plan.table_bytes_per_device,
+            })
+            print(f"@@@ memory_bk {n} count={cnt} "
+                  f"shrink={brows[-1]['table_shrink']:.2f}x")
+        assert len({r["count"] for r in brows}) == 1, brows
+        out["memory_bk"] = brows
+
     print(json.dumps(out))
     if args.out:
         with open(args.out, "w") as f:
