@@ -54,28 +54,37 @@ __all__ = [
     "triangle_count",
     "kclique_count",
     "bron_kerbosch",
+    "kclique_star_list",
+    "subgraph_isomorphism",
+    "jones_plassmann",
+    "vertex_similarity",
+    "AUCPlan",
 ]
 
+# lazy top-level conveniences (avoid import cycles)
+_LAZY = {
+    "read_graph": ("gms_tpu.io.readers", "read_graph"),
+    "build_csr": ("gms_tpu.io.builder", "build_csr"),
+    "triangle_count": ("gms_tpu.algorithms.triangle_count",
+                       "triangle_count"),
+    "kclique_count": ("gms_tpu.algorithms.k_clique", "kclique_count"),
+    "bron_kerbosch": ("gms_tpu.algorithms.bron_kerbosch", "bron_kerbosch"),
+    "kclique_star_list": ("gms_tpu.algorithms.k_clique_star",
+                          "kclique_star_list"),
+    "subgraph_isomorphism": ("gms_tpu.algorithms.subgraph_iso",
+                             "subgraph_isomorphism"),
+    "jones_plassmann": ("gms_tpu.algorithms.coloring", "jones_plassmann"),
+    "vertex_similarity": ("gms_tpu.algorithms.similarity",
+                          "vertex_similarity"),
+    "AUCPlan": ("gms_tpu.algorithms.link_prediction", "AUCPlan"),
+}
 
-def __getattr__(name):  # lazy top-level conveniences (avoid import cycles)
-    if name == "read_graph":
-        from gms_tpu.io.readers import read_graph
 
-        return read_graph
-    if name == "build_csr":
-        from gms_tpu.io.builder import build_csr
+def __getattr__(name):
+    try:
+        mod, attr = _LAZY[name]
+    except KeyError:
+        raise AttributeError(name) from None
+    import importlib
 
-        return build_csr
-    if name == "triangle_count":
-        from gms_tpu.algorithms.triangle_count import triangle_count
-
-        return triangle_count
-    if name == "kclique_count":
-        from gms_tpu.algorithms.k_clique import kclique_count
-
-        return kclique_count
-    if name == "bron_kerbosch":
-        from gms_tpu.algorithms.bron_kerbosch import bron_kerbosch
-
-        return bron_kerbosch
-    raise AttributeError(name)
+    return getattr(importlib.import_module(mod), attr)
