@@ -91,6 +91,25 @@ def _onehot_masks(W: int, WW: int):
     return jnp.asarray(oh)
 
 
+def _band_compact(band, blk):
+    """Reorder blk's rows by ascending band key (within-band order
+    preserved when the key embeds iota). Narrow rows ride the variadic
+    bitonic sort as payload columns — row-granular gather/scatter pays a
+    ~50-100ns-per-row DMA tax (half the r05 BK hot job) while the sort
+    network moves rows through vector registers. Wide rows (> 32 columns:
+    a 193-operand variadic sort at WW=64 was pathological to compile AND
+    run — the r05 star scale-12 bench timeout) sort only the permutation
+    and pay ONE row gather, amortized by the row width."""
+    K = blk.shape[1]
+    if K <= 32:
+        sorted_cols = jax.lax.sort(
+            (band, *(blk[:, c] for c in range(K))), num_keys=1)
+        return jnp.stack(sorted_cols[1:], axis=1)
+    iota = jnp.arange(band.shape[0], dtype=jnp.int32)
+    _, perm = jax.lax.sort_key_val(band, iota)
+    return jnp.take(blk, perm, axis=0)
+
+
 def _scatter_compact_dest(ok_flat, cum, oob: int):
     """Stable-compaction destinations: valid element i goes to slot
     cum[i]-1, invalid ones to `oob` (dropped by mode='drop'). ONE scatter
@@ -752,9 +771,7 @@ def bk_stack_machine(adj, S0, live0, M, wvalid, state, *, w_words: int,
         # above the new lp / sp, where buffer semantics never read.
         band = jnp.where(leaf, oiota,
                          jnp.where(push, PC + oiota, 2 * PC + oiota))
-        sorted_cols = jax.lax.sort(
-            (band, *(child_blk[:, c] for c in range(K))), num_keys=1)
-        comp = jnp.stack(sorted_cols[1:], axis=1)             # [PC, K]
+        comp = _band_compact(band, child_blk)                 # [PC, K]
         LBUF = jax.lax.dynamic_update_slice(
             LBUF, jax.lax.slice_in_dim(comp, 2 * WW, K, axis=1),
             (lp, jnp.int32(0)))

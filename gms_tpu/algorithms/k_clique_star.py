@@ -45,7 +45,7 @@ from gms_tpu.graphs.csr import CSRGraph
 from gms_tpu.graphs.tiles import PaddedGraph, SENTINEL
 from gms_tpu.preprocessing import degeneracy
 from gms_tpu.algorithms.k_clique import plan_tier_chunks
-from gms_tpu.algorithms.bron_kerbosch import _onehot_masks
+from gms_tpu.algorithms.bron_kerbosch import _onehot_masks, _band_compact
 
 DEFAULT_ROOT_CHUNK = 4096
 
@@ -286,10 +286,8 @@ def star_fused_chunk(nbr, rank_pad, chunk, state, *, w_words: int, k: int,
             out_blk = jnp.concatenate(
                 [cR, star_bits, pR.astype(jnp.uint32)[:, None]], axis=1)
             oband = jnp.where(leaf, oiota, PC + oiota)
-            osorted = jax.lax.sort(
-                (oband, *(out_blk[:, c] for c in range(OK))), num_keys=1)
             OUT = jax.lax.dynamic_update_slice(
-                OUT, jnp.stack(osorted[1:], axis=1),
+                OUT, _band_compact(oband, out_blk),
                 (jnp.minimum(op, out_cap), jnp.int32(0)))
             op = op + jnp.sum(leaf, dtype=jnp.int32)
             ovf = ovf | (op > out_cap)
@@ -301,16 +299,18 @@ def star_fused_chunk(nbr, rank_pad, chunk, state, *, w_words: int, k: int,
             [cS, cI, cR,
              ((pR.astype(jnp.uint32) * 256)
               + (prem - 1).astype(jnp.uint32))[:, None]], axis=1)
-        # compaction by ONE variadic bitonic sort + a contiguous
+        # compaction by ONE bitonic sort + a contiguous
         # dynamic_update_slice (see bron_kerbosch.py: every row-granular
         # scatter/gather pays a per-row DMA tax — the sort network moves
         # rows through vector registers); garbage tail rows land above
-        # the new sp, never read
+        # the new sp, never read. Narrow tiers carry all K row columns
+        # as sort payloads; wide tiers (K > 32 — a 193-operand variadic
+        # sort at WW=64 is pathological to compile AND run) sort only
+        # the permutation and pay one row gather, whose per-row DMA is
+        # amortized by the wide row.
         band = jnp.where(push, oiota, PC + oiota)
-        sorted_cols = jax.lax.sort(
-            (band, *(child_blk[:, c] for c in range(K))), num_keys=1)
         STK = jax.lax.dynamic_update_slice(
-            STK, jnp.stack(sorted_cols[1:], axis=1), (base, jnp.int32(0)))
+            STK, _band_compact(band, child_blk), (base, jnp.int32(0)))
         return (STK, base + n_push, OUT, op, ncl, nst, ovf, n_it + 1)
 
     st = (STK, n0, OUT0, op0, ncl0, nst0, jnp.bool_(False), jnp.int32(0))
