@@ -293,23 +293,31 @@ def _run_extra(name: str, scale: int) -> dict:
         from gms_tpu.algorithms import subgraph_iso as si
 
         row = {"scale": scale, "induced": True, "limit": 1,
-               "protocol": "best of 3 warm trials per pattern"}
+               "protocol": ("best of 3 warm trials per pattern; hybrid = "
+                            "budgeted host DFS pre-pass falling through "
+                            "to the device search; device = host_budget=0")}
         for pname, pedges in si.VF2_PATTERNS.items():
             p = build_csr(np.array(pedges, dtype=np.int64))
-            res = si.subgraph_isomorphism(g, p, induced=True, limit=1)
-            ts = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                res = si.subgraph_isomorphism(g, p, induced=True, limit=1)
-                ts.append(time.perf_counter() - t0)
-            dt = min(ts)
             base = ref.get(f"vf2_{pname}_scale{scale}_solve_seconds")
-            row[pname] = {"seconds": dt, "found": int(len(res)),
-                          "ref_solve_seconds": base,
-                          "vs_baseline": base / dt if base else None}
-        # headline = the pattern where the search actually backtracks
-        row["seconds"] = row.get("c5", {}).get("seconds")
-        row["vs_baseline"] = row.get("c5", {}).get("vs_baseline")
+            entry = {"ref_solve_seconds": base}
+            for mode, hb in (("hybrid", 200_000), ("device", 0)):
+                res = si.subgraph_isomorphism(g, p, induced=True, limit=1,
+                                              host_budget=hb)
+                ts = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    res = si.subgraph_isomorphism(
+                        g, p, induced=True, limit=1, host_budget=hb)
+                    ts.append(time.perf_counter() - t0)
+                entry[mode] = {"seconds": min(ts), "found": int(len(res)),
+                               "vs_baseline": (base / min(ts)
+                                               if base else None)}
+            row[pname] = entry
+        # headline = the pattern where the search actually backtracks,
+        # on the pure DEVICE path (the hybrid's host pre-pass wins c5 by
+        # candidate ordering — real, but a CPU-vs-CPU comparison)
+        row["seconds"] = row["c5"]["device"]["seconds"]
+        row["vs_baseline"] = row["c5"]["device"]["vs_baseline"]
         return row
     raise ValueError(name)
 

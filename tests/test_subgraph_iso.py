@@ -113,3 +113,25 @@ def test_find_first_under_tiny_budget():
     res = si.subgraph_isomorphism(g, DIAMOND, limit=1, item_budget=1 << 9)
     assert res.shape[0] == 1
     assert si.verify_mapping(g, DIAMOND, res[0])
+
+
+def test_find_first_device_path_matches_hybrid():
+    """host_budget=0 pins the DEVICE find-first path; both paths must
+    find a valid mapping whenever one exists (r05 hybrid dispatch)."""
+    g = build_csr(random_graph(60, 0.15, seed=21), num_nodes=60)
+    for pat, induced in ((TRIANGLE, False), (DIAMOND, True), (PATH5, True)):
+        hyb = si.subgraph_isomorphism(g, pat, induced=induced, limit=1)
+        dev = si.subgraph_isomorphism(g, pat, induced=induced, limit=1,
+                                      host_budget=0)
+        assert len(hyb) == len(dev)
+        for r in (*hyb, *dev):
+            assert si.verify_mapping(g, pat, r, induced=induced)
+
+
+def test_host_budget_exhaustion_falls_through():
+    """A 1-step budget must exhaust immediately and still find the
+    mapping via the device search."""
+    g = build_csr(random_graph(40, 0.3, seed=22), num_nodes=40)
+    res = si.subgraph_isomorphism(g, TRIANGLE, limit=1, host_budget=1)
+    assert len(res) == 1
+    assert si.verify_mapping(g, TRIANGLE, res[0])
