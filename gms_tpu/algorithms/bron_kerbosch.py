@@ -566,7 +566,14 @@ def bk_stack_machine(adj, S0, live0, M, wvalid, state, *, w_words: int,
     NB = IN // in_block
     PC = push_cap
     cap_total = cap + PC
-    FB = min(1 << 16, leaf_cap)            # flush block rows
+    # flush block rows: shrink FB (not in_block) to the [FB, in_block, WW]
+    # gather budget — per-leaf cover rows then gather at the FULL in_block
+    # width, so the per-row DMA tax is amortized by KB-scale rows instead
+    # of being paid NB times per leaf on 1KB rows (the r05 trace: the
+    # flush was 1.2s of the 1.9s hot job at in_block=64, NB=8)
+    FB = min(1 << 16, leaf_cap)
+    while FB > 512 and FB * in_block * WW > (1 << 24):
+        FB //= 2
     lcap = -(-(leaf_cap + PC) // FB) * FB
     emit = out_cap > 0
     ocap_total = out_cap + FB if emit else 0
@@ -925,10 +932,8 @@ def _bk_fused(g: CSRGraph, rank: np.ndarray, roots: np.ndarray, *,
         batch = _PLAN_OVERRIDES.get("batch", 4096 if W >= 128 else 1024)
         push_cap = max(W, _PLAN_OVERRIDES.get("push_mult", 2) * batch)
         leaf_cap = max(push_cap, (1 << 22) // (WW + 1))
-        FB = min(1 << 16, leaf_cap)
-        in_block = IN
-        while in_block > 32 and FB * in_block * WW > (1 << 24):
-            in_block //= 2
+        in_block = IN  # full-width cover gathers; the kernel shrinks its
+        # flush block FB to hold the [FB, IN, WW] tensor budget instead
         cap = max(C, stack_words // (3 * WW + 1))
         out_cap = max(out_budget, 1 << 16) if collect else 0
         # pop rounds per dispatch: keep each device program well under the

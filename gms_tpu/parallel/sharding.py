@@ -356,10 +356,8 @@ class VertexShardedBKPlan:
         push_cap = max(W, 2 * batch)
         lcap = leaf_cap if leaf_cap is not None else max(
             push_cap, (1 << 18) // (WW + 1))
-        in_block = INp
-        FB = min(1 << 16, lcap)
-        while in_block > 32 and FB * in_block * WW > (1 << 24):
-            in_block //= 2
+        in_block = INp  # full-width cover gathers; bk_stack_machine
+        # shrinks its flush block FB to the tensor budget instead
         cap = max(stack_cap, Rc, batch)
 
         self.table_bytes_per_device = int(
