@@ -111,3 +111,24 @@ def test_resume_segments_equal_counts():
     want, _ = bk._bk_fused(g, np.asarray(rank), roots)
     got, _ = bk._bk_fused(g, np.asarray(rank), roots, iter_budget=2)
     assert got == want == len(bk.bron_kerbosch_simple(g))
+
+
+def test_band_compact_both_paths():
+    """_band_compact: the variadic-sort path (K <= 32 columns) and the
+    permutation-gather path (wide rows) must both stably compact band-0
+    rows to the front (the wide path only runs on wide star tiers on
+    TPU, so pin it here)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from gms_tpu.algorithms.bron_kerbosch import _band_compact
+
+    rng = np.random.default_rng(0)
+    for K in (5, 33, 64):
+        N = 256
+        blk = rng.integers(0, 2**32, (N, K), dtype=np.uint32)
+        keep = rng.random(N) < 0.4
+        iota = np.arange(N, dtype=np.int32)
+        band = np.where(keep, iota, N + iota).astype(np.int32)
+        out = np.asarray(_band_compact(jnp.asarray(band), jnp.asarray(blk)))
+        want = np.concatenate([blk[keep], blk[~keep]])
+        np.testing.assert_array_equal(out, want)
