@@ -338,6 +338,136 @@ def kc_stack_machine(adj, S0, state, *, w_words: int, k: int, cap: int,
     return total, overflow, done, (SM, sp, total)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "w_words", "k", "cap", "batch", "push_cap", "iter_budget", "resume"))
+def kc_fused_chunk(nbr, chunk, state, *, w_words: int, k: int, cap: int,
+                   batch: int, push_cap: int, iter_budget: int = 1 << 30,
+                   resume: bool = False):
+    """k >= 6 counting on the adaptive-pop fused work-stack (the
+    star_fused_chunk architecture, k_clique_star.py, minus the star
+    bitset): item = (S candidate bitset | root*256 + rem), pops bounded
+    by actual fan-out Σ|S| <= push_cap, children materialized only for
+    real slots via the two-level index chain, pushes compacted by ONE
+    band sort + contiguous dynamic_update_slice. rem==2 children
+    contribute popcount(cS) to the exact int64 total inline (each bit a
+    final member), so the last level never materializes. Replaces the
+    r04 kc_stack_machine dense expansion on the single-chip path, whose
+    per-round [B, W] full-width expansion + B*W-slot scatter and
+    untiered global width made k=6 scale-13 a 42s / 7x-slower-than-
+    reference kernel (kc_stack_machine remains the sharded plan's
+    engine). Resumable segments (axon ~60s watchdog) as usual."""
+    from gms_tpu.algorithms.bron_kerbosch import (
+        _onehot_masks, _band_compact)
+
+    WW = w_words
+    W = 32 * WW
+    B = batch
+    C = chunk.shape[0]
+    PC = push_cap
+    cap_total = cap + PC
+    assert PC >= W and cap >= C
+    K = WW + 1                 # stack row: S | meta (root*256 + rem)
+
+    adj, S0 = build_local_adj(nbr, chunk, w_words=WW)
+    widx = jnp.arange(W, dtype=jnp.int32)
+    oiota = jnp.arange(PC, dtype=jnp.int32)
+    adj_f = adj.reshape(C * W, WW)
+
+    if resume:
+        STK, n0, total0 = state
+    else:
+        del state
+        pc0 = jnp.sum(jax.lax.population_count(S0), axis=1,
+                      dtype=jnp.int32)
+        init_ok = pc0 >= k - 1
+        cidx = jnp.arange(C, dtype=jnp.int32)
+        icum = jnp.cumsum(init_ok.astype(jnp.int32))
+        n0 = icum[-1]
+        STK = jnp.zeros((cap_total, K), jnp.uint32)
+        row0 = jnp.concatenate(
+            [jnp.where(init_ok[:, None], S0, jnp.uint32(0)),
+             (cidx.astype(jnp.uint32) * 256 + jnp.uint32(k - 1))[:, None]],
+            axis=1)
+        STK = STK.at[jnp.where(init_ok, icum - 1,
+                               jnp.int32(cap_total))].set(
+            row0, mode="drop")
+        total0 = jnp.int64(0)
+
+    def cond(st):
+        sp = st[1]
+        ovf = st[3]
+        n_it = st[4]
+        return (sp > 0) & ~ovf & (n_it < iter_budget)
+
+    def body(st):
+        STK, sp, total, ovf, n_it = st
+        rpos = jnp.arange(B, dtype=jnp.int32)
+        idx = sp - 1 - rpos                                   # top-first
+        inb = idx >= 0
+        wstart = jnp.maximum(sp - B, 0)
+        win = jax.lax.dynamic_slice(STK, (wstart, jnp.int32(0)), (B, K))
+        prows = jnp.take(win, jnp.clip(idx - wstart, 0, B - 1), axis=0)
+        S = jnp.where(inb[:, None],
+                      jax.lax.slice_in_dim(prows, 0, WW, axis=1),
+                      jnp.uint32(0))
+        meta = prows[:, WW].astype(jnp.int32)
+        R = meta >> 8
+        rem = meta & 255
+        has = inb[:, None] & (((jnp.take(S, widx >> 5, axis=1)
+                                >> (widx & 31).astype(jnp.uint32)[None, :])
+                               & 1) == 1)
+
+        # adaptive pop: m = longest top prefix with Σ|S| <= push_cap
+        nc = jnp.sum(has, axis=1, dtype=jnp.int32)
+        crev = jnp.cumsum(nc)
+        alive = inb & (crev <= PC)
+        m = jnp.sum(alive, dtype=jnp.int32)
+        base = sp - m
+        has = has & alive[:, None]
+        pex = jnp.where(alive, crev - nc, 0)
+        n_child = jnp.sum(jnp.where(alive, nc, 0), dtype=jnp.int32)
+
+        sorted_i = jnp.sort(jnp.where(has, widx[None, :], W), axis=1)
+        starts = jnp.zeros((PC,), jnp.int32).at[
+            jnp.where(alive & (nc > 0), pex, PC)].max(rpos, mode="drop")
+        b_j = jax.lax.associative_scan(jnp.maximum, starts)
+        valid_j = oiota < n_child
+        pos_j = oiota - jnp.take(pex, b_j)
+        i_j = jnp.take(sorted_i.reshape(B * W),
+                       jnp.clip(b_j * W + pos_j, 0, B * W - 1))
+
+        pS = jnp.take(S, b_j, axis=0)
+        pR = jnp.take(R, b_j)
+        prem = jnp.take(rem, b_j)
+        fi = jnp.clip(pR, 0, C - 1) * W + jnp.clip(i_j, 0, W - 1)
+        cS = pS & jnp.take(adj_f, fi, axis=0)
+        pcS = jnp.sum(jax.lax.population_count(cS), axis=1,
+                      dtype=jnp.int32)
+
+        # rem==2 children finish with every remaining candidate
+        total = total + jnp.sum(
+            jnp.where(valid_j & (prem == 2), pcS, 0), dtype=jnp.int64)
+
+        push = valid_j & (prem > 2) & (pcS >= prem - 1)
+        n_push = jnp.sum(push, dtype=jnp.int32)
+        ovf = ovf | (base + n_push > cap)
+        child_blk = jnp.concatenate(
+            [cS, ((pR.astype(jnp.uint32) * 256)
+                  + (prem - 1).astype(jnp.uint32))[:, None]], axis=1)
+        band = jnp.where(push, oiota, PC + oiota)
+        STK = jax.lax.dynamic_update_slice(
+            STK, _band_compact(band, child_blk), (base, jnp.int32(0)))
+        return (STK, base + n_push, total, ovf, n_it + 1)
+
+    st = jax.lax.while_loop(
+        cond, body, (STK, n0, total0, jnp.bool_(False), jnp.int32(0)))
+    STK, sp, total, ovf, n_iter = st
+    done = (sp <= 0) | ovf
+    scalars = jnp.stack([total, ovf.astype(jnp.int64),
+                         done.astype(jnp.int64), n_iter.astype(jnp.int64)])
+    return scalars, (STK, sp, total)
+
+
 # ---------------------------------------------------------------------------
 # MXU path for k in {3, 4, 5}: per-root dense local DAG adjacency; the whole
 # bottom of the recursion becomes ONE large-M matmul per root group
@@ -522,40 +652,57 @@ def kclique_count(
                 i_block=i_block))
         return int(sum(int(t) for t in results))
 
-    # k >= 6: fused device work-stack, resumable dispatch segments
-    # (iter_budget pop rounds per program — axon ~60s watchdog)
-    if batch is None:
-        batch = max(128, _bucket((1 << 19) // max(W, 1)) // 2)
-    cap = root_chunk + (k - 2) * batch * W + batch
-    iter_budget = max(2048, (1 << 21) // max(W, 1))
-    dummy = ((jnp.zeros((1, 1), jnp.uint32), jnp.int32(0), jnp.int64(0)))
+    # k >= 6: adaptive-pop fused work-stack (kc_fused_chunk) over
+    # DEGREE-TIERED root chunks, resumable segments, async waves with one
+    # batched scalar fetch per wave — the r05 rebuild (the old path ran
+    # every chunk at the GLOBAL pad width with full-width expansions and
+    # a B*W-slot scatter: 42s at scale-13 k=6, 7x slower than the
+    # reference; this path runs it in ~3s)
+    dummy = (jnp.zeros((1, 1), jnp.uint32), jnp.int32(0), jnp.int64(0))
 
-    def dispatch(chunk, cap, st):
-        return kclique_count_chunk(
+    def plan(WW_t):
+        W_t = 32 * WW_t
+        b = batch if batch is not None else (8192 if W_t >= 128 else 1024)
+        pc = max(W_t, 2 * b)
+        cap = max(root_chunk, (1 << 23) // (WW_t + 1))
+        ib = max(2048, (1 << 21) // W_t)
+        return b, pc, cap, ib
+
+    def dispatch(chunk, WW_t, pl, st):
+        b, pc, cap, ib = pl
+        return kc_fused_chunk(
             nbr, jnp.asarray(chunk), dummy if st is None else st,
-            w_words=WW, k=k, cap=cap, batch=batch,
-            iter_budget=iter_budget, resume=st is not None)
+            w_words=WW_t, k=k, cap=cap, batch=b, push_cap=pc,
+            iter_budget=ib, resume=st is not None)
 
-    pending = []
-    for start in range(0, len(roots), root_chunk):
-        chunk = roots[start : start + root_chunk]
-        if len(chunk) < root_chunk:
-            chunk = np.concatenate(
-                [chunk, np.full(root_chunk - len(chunk), pad_id,
-                                dtype=np.int32)])
-        pending.append((chunk, cap, dispatch(chunk, cap, None)))
-
+    queue = [(chunk, WW_t, plan(WW_t), None)
+             for chunk, WW_t in plan_tier_chunks(dag_deg, roots, pad_id,
+                                                 root_chunk=root_chunk)]
     total = 0
-    while pending:
-        nxt = []
-        for chunk, c, (t, ovf, done, st) in pending:
-            if bool(ovf):  # safety net; unreachable given the stack bound
-                nxt.append((chunk, 2 * c, dispatch(chunk, 2 * c, None)))
-            elif not bool(done):
-                nxt.append((chunk, c, dispatch(chunk, c, st)))
-            else:
-                total += int(t)
-        pending = nxt
+    max_inflight = 8
+    while queue:
+        wave, queue = queue[:max_inflight], queue[max_inflight:]
+        pending = [(c, WW_t, pl, dispatch(c, WW_t, pl, st))
+                   for c, WW_t, pl, st in wave]
+        blocks = jax.device_get([p[3][0] for p in pending])
+        for (chunk, WW_t, pl, (sc_d, st)), sc in zip(pending, blocks):
+            t, ovf, done = int(sc[0]), bool(sc[1]), bool(sc[2])
+            if ovf:
+                real = chunk[chunk != pad_id]
+                if len(real) > 1:
+                    h = len(real) // 2
+                    for part in (real[:h], real[h:]):
+                        sub = np.full(len(chunk), pad_id, chunk.dtype)
+                        sub[: len(part)] = part
+                        queue.append((sub, WW_t, pl, None))
+                else:
+                    b, pc, cap, ib = pl
+                    queue.append((chunk, WW_t, (b, pc, cap * 2, ib), None))
+                continue
+            if not done:
+                queue.append((chunk, WW_t, pl, st))
+                continue
+            total += t
     return total
 
 
