@@ -507,8 +507,8 @@ def bk_fused_chunk(dag_nbr, chunk, M, wvalid, state, *, w_words: int,
          then [push_cap] gathers) materializes child (cand', fini', R')
          rows ONLY for real children;
       4. children split: cand' = ∅ ∧ fini' = ∅ → leaf buffer (candidate
-         maximal clique), cand' ≠ ∅ → stack; both via one [push_cap]-slot
-         scatter each with MXU prefix sums (`_cumsum_i32`).
+         maximal clique), cand' ≠ ∅ → stack; both via ONE band sort
+         (`_band_compact`) + contiguous dynamic_update_slices.
 
     Maximality filtering (a leaf D at root r is a global maximal clique
     iff no valid lower-ranked neighbor w of r covers it, D ⊆ N⁺(w))

@@ -19,7 +19,7 @@ device-resident LIFO work stack inside lax.while_loop (`star_fused_chunk`),
 the `bk_fused_chunk` architecture — interleaved stack rows
 (S | I | Rbits | root·256+rem), adaptive pops bounded by actual fan-out,
 in-row child compaction via one minor-axis sort, a two-level index chain
-materializing ONLY real children, MXU prefix-sum scatters, and
+materializing ONLY real children, band-sort push compaction, and
 `iter_budget`-bounded resumable segments (the axon worker kills device
 programs over ~60s). Leaves (rem==1 children) are counted/banked at
 expansion — no pivot pass, no leaf buffer, no flush loop, and no per-level
