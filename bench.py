@@ -51,6 +51,8 @@ EXTRA_SCALES = {
                                    str(min(SCALE, 16)))),
     "kclique6": int(os.environ.get("BENCH_KCLIQUE6_SCALE",
                                    str(min(SCALE, 13)))),
+    "kclique8": int(os.environ.get("BENCH_KCLIQUE8_SCALE",
+                                   str(min(SCALE, 12)))),
     "bron_kerbosch": int(os.environ.get("BENCH_BK_SCALE",
                                         str(min(SCALE, 14)))),
     "k_clique_star": int(os.environ.get("BENCH_STAR_SCALE",
@@ -207,20 +209,20 @@ def _run_extra(name: str, scale: int) -> dict:
         return {"count": int(n), "seconds": dt, "scale": scale,
                 "cliques_per_sec": n / dt if dt else None,
                 "vs_baseline": (n / dt) / base if base else None}
-    if name == "kclique6":
+    if name in ("kclique6", "kclique8"):
         from gms_tpu.algorithms.k_clique import kclique_count
 
-        kclique_count(g, 6)                         # compile warm-up
+        k = int(name[-1])
+        kclique_count(g, k)                         # compile warm-up
         ts = []
         n = 0
         for _ in range(3):
             t0 = time.perf_counter()
-            n = kclique_count(g, 6)
+            n = kclique_count(g, k)
             ts.append(time.perf_counter() - t0)
         dt = min(ts)
-        base = (ref.get(f"kclique6_scale{scale}_seconds")
-                if scale == 13 else None)
-        return {"count": int(n), "seconds": dt, "scale": scale, "k": 6,
+        base = ref.get(f"{name}_scale{scale}_seconds")
+        return {"count": int(n), "seconds": dt, "scale": scale, "k": k,
                 "protocol": "best of 3 warm trials (fused work-stack)",
                 "cliques_per_sec": n / dt if dt else None,
                 "vs_baseline": base / dt if base else None}

@@ -444,11 +444,30 @@ def kc_fused_chunk(nbr, chunk, state, *, w_words: int, k: int, cap: int,
         pcS = jnp.sum(jax.lax.population_count(cS), axis=1,
                       dtype=jnp.int32)
 
-        # rem==2 children finish with every remaining candidate
+        # rem==2 children finish with every remaining candidate (only
+        # reachable for k == 4-equivalents; k >= 6 roots start at rem >= 5
+        # and the rem==3 inline count below keeps rem==2 items off the
+        # stack entirely)
         total = total + jnp.sum(
             jnp.where(valid_j & (prem == 2), pcS, 0), dtype=jnp.int64)
 
-        push = valid_j & (prem > 2) & (pcS >= prem - 1)
+        # rem==3 children: each completes with any DAG EDGE inside cS, so
+        # count Σ_{j∈cS} |cS ∩ adj_j| inline — this removes the
+        # second-to-last level (the bulk of all pushes) from the stack at
+        # the cost of one [PC, W, WW] row gather per round (the plan
+        # bounds PC so this tensor stays ~2^25 words)
+        rows3 = jnp.take(adj, jnp.clip(pR, 0, C - 1), axis=0)  # [PC, W, WW]
+        in_cS = ((jnp.take(cS, widx >> 5, axis=1)
+                  >> (widx & 31).astype(jnp.uint32)[None, :]) & 1) == 1
+        e3 = jnp.sum(
+            jnp.where(in_cS[:, :, None],
+                      jax.lax.population_count(cS[:, None, :] & rows3),
+                      0), axis=(1, 2), dtype=jnp.int32)        # [PC]
+        total = total + jnp.sum(
+            jnp.where(valid_j & (prem == 3), e3.astype(jnp.int64), 0),
+            dtype=jnp.int64)
+
+        push = valid_j & (prem > 3) & (pcS >= prem - 1)
         n_push = jnp.sum(push, dtype=jnp.int32)
         ovf = ovf | (base + n_push > cap)
         child_blk = jnp.concatenate(
@@ -663,7 +682,10 @@ def kclique_count(
     def plan(WW_t):
         W_t = 32 * WW_t
         b = batch if batch is not None else (8192 if W_t >= 128 else 1024)
-        pc = max(W_t, 2 * b)
+        # the rem==3 inline edge count gathers [PC, W, WW] rows per round;
+        # bound PC so that tensor stays ~2^25 words (wide hub tiers trade
+        # pop width for not blowing HBM)
+        pc = max(W_t, min(2 * b, (1 << 25) // max(W_t * WW_t, 1)))
         cap = max(root_chunk, (1 << 23) // (WW_t + 1))
         ib = max(2048, (1 << 21) // W_t)
         return b, pc, cap, ib
