@@ -291,8 +291,27 @@ def star_fused_chunk(nbr, rank_pad, chunk, state, *, w_words: int, k: int,
                 (jnp.minimum(op, out_cap), jnp.int32(0)))
             op = op + jnp.sum(leaf, dtype=jnp.int32)
             ovf = ovf | (op > out_cap)
-
-        push = valid_j & (prem > 1) & (pcS >= prem - 1)
+            push = valid_j & (prem > 1) & (pcS >= prem - 1)
+        else:
+            # COUNT mode: rem==2 children are counted inline — each final
+            # member i ∈ cS yields one clique with star
+            # (cI ∩ N_full(i)) \ (cR ∪ {i}) — removing the last stack
+            # level (the bulk of all pushes; the k_clique.py rem==3
+            # lesson). One plan-bounded [PC, W, WW] full-row gather.
+            fin = valid_j & (prem == 2)
+            rows_full = jnp.take(adj_full, jnp.clip(pR, 0, C - 1), axis=0)
+            in_cS = ((jnp.take(cS, widx >> 5, axis=1)
+                      >> (widx & 31).astype(jnp.uint32)[None, :]) & 1) == 1
+            st3 = (cI[:, None, :] & rows_full & ~cR[:, None, :]) \
+                & ~onehot[None, :, :]
+            s3 = jnp.sum(
+                jnp.where(in_cS[:, :, None],
+                          jax.lax.population_count(st3), 0),
+                axis=(1, 2), dtype=jnp.int32)                  # [PC]
+            ncl = ncl + jnp.sum(jnp.where(fin, pcS, 0), dtype=jnp.int64)
+            nst = nst + jnp.sum(
+                jnp.where(fin, s3.astype(jnp.int64), 0), dtype=jnp.int64)
+            push = valid_j & (prem > 2) & (pcS >= prem - 1)
         n_push = jnp.sum(push, dtype=jnp.int32)
         ovf = ovf | (base + n_push > cap)
         child_blk = jnp.concatenate(
@@ -397,7 +416,9 @@ def kclique_star_list(
         W = 32 * WW
         C = len(chunk)
         batch = 4096 if W >= 128 else 1024
-        push_cap = max(W, 2 * batch)
+        # count mode's inline rem==2 star count gathers [PC, W, WW] full
+        # rows per round; bound PC so that tensor stays ~2^25 words
+        push_cap = max(W, min(2 * batch, (1 << 25) // max(W * WW, 1)))
         cap = max(C, stack_words // (3 * WW + 1))
         out_cap = max(out_budget, 1 << 16) if collect else 0
         ib = (iter_budget if iter_budget is not None
