@@ -355,7 +355,16 @@ def kc_fused_chunk(nbr, chunk, state, *, w_words: int, k: int, cap: int,
     per-round [B, W] full-width expansion + B*W-slot scatter and
     untiered global width made k=6 scale-13 a 42s / 7x-slower-than-
     reference kernel (kc_stack_machine remains the sharded plan's
-    engine). Resumable segments (axon ~60s watchdog) as usual."""
+    engine). Resumable segments (axon ~60s watchdog) as usual.
+
+    Tiers with W <= 128 additionally count rem==4 children inline on the
+    MXU: a child still needing 3 members completes with every DAG
+    TRIANGLE inside cS, i.e. Σ M⊙(M@M) with M = A_root ∧ (cS × cS) as a
+    0/1 bf16 [PC, W, W] batched contraction (kclisting.h:92-146's two
+    deepest levels as systolic-array work). Exact: Q entries <= W and the
+    per-item sum <= W^3 <= 2^21 stay integral in f32. This removes the
+    rem==3 child generation — the bulk of all materialization at deep k
+    (the r05 k=8 lesson: 16.5s -> ~2s at scale 12)."""
     from gms_tpu.algorithms.bron_kerbosch import (
         _onehot_masks, _band_compact)
 
@@ -367,6 +376,7 @@ def kc_fused_chunk(nbr, chunk, state, *, w_words: int, k: int, cap: int,
     cap_total = cap + PC
     assert PC >= W and cap >= C
     K = WW + 1                 # stack row: S | meta (root*256 + rem)
+    tri4 = W <= 128            # MXU rem==4 inline (see docstring)
 
     adj, S0 = build_local_adj(nbr, chunk, w_words=WW)
     widx = jnp.arange(W, dtype=jnp.int32)
@@ -459,15 +469,34 @@ def kc_fused_chunk(nbr, chunk, state, *, w_words: int, k: int, cap: int,
         rows3 = jnp.take(adj, jnp.clip(pR, 0, C - 1), axis=0)  # [PC, W, WW]
         in_cS = ((jnp.take(cS, widx >> 5, axis=1)
                   >> (widx & 31).astype(jnp.uint32)[None, :]) & 1) == 1
-        e3 = jnp.sum(
-            jnp.where(in_cS[:, :, None],
-                      jax.lax.population_count(cS[:, None, :] & rows3),
-                      0), axis=(1, 2), dtype=jnp.int32)        # [PC]
-        total = total + jnp.sum(
-            jnp.where(valid_j & (prem == 3), e3.astype(jnp.int64), 0),
-            dtype=jnp.int64)
-
-        push = valid_j & (prem > 3) & (pcS >= prem - 1)
+        if tri4:
+            # rem==4 children complete with every DAG TRIANGLE inside cS:
+            # M = A_root ∧ (cS × cS) as 0/1 bf16, tri = Σ M⊙(M@M) on the
+            # MXU. k >= 6 roots start at rem >= 5, so rem 3/2 items never
+            # exist — this branch replaces the e3/pcS banks entirely.
+            Mw = jnp.where(in_cS[:, :, None], rows3 & cS[:, None, :],
+                           jnp.uint32(0))                      # [PC, W, WW]
+            Mb = ((jnp.take(Mw, widx >> 5, axis=2)
+                   >> (widx & 31).astype(jnp.uint32)[None, None, :])
+                  & 1).astype(jnp.bfloat16)                    # [PC, W, W]
+            Q = jax.lax.dot_general(
+                Mb, Mb, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)            # [PC, W, W]
+            tri = jnp.sum(Mb.astype(jnp.float32) * Q,
+                          axis=(1, 2))                         # [PC] exact
+            total = total + jnp.sum(
+                jnp.where(valid_j & (prem == 4),
+                          tri.astype(jnp.int64), 0), dtype=jnp.int64)
+            push = valid_j & (prem > 4) & (pcS >= prem - 1)
+        else:
+            e3 = jnp.sum(
+                jnp.where(in_cS[:, :, None],
+                          jax.lax.population_count(cS[:, None, :] & rows3),
+                          0), axis=(1, 2), dtype=jnp.int32)    # [PC]
+            total = total + jnp.sum(
+                jnp.where(valid_j & (prem == 3), e3.astype(jnp.int64), 0),
+                dtype=jnp.int64)
+            push = valid_j & (prem > 3) & (pcS >= prem - 1)
         n_push = jnp.sum(push, dtype=jnp.int32)
         ovf = ovf | (base + n_push > cap)
         child_blk = jnp.concatenate(
@@ -681,11 +710,19 @@ def kclique_count(
 
     def plan(WW_t):
         W_t = 32 * WW_t
-        b = batch if batch is not None else (8192 if W_t >= 128 else 1024)
-        # the rem==3 inline edge count gathers [PC, W, WW] rows per round;
-        # bound PC so that tensor stays ~2^25 words (wide hub tiers trade
-        # pop width for not blowing HBM)
-        pc = max(W_t, min(2 * b, (1 << 25) // max(W_t * WW_t, 1)))
+        if W_t <= 128:
+            # tri4 tiers (MXU rem==4 inline): the [PC, W, W] bf16 M
+            # tensor bounds PC to ~2^24 elements; every popped item fans
+            # >= 1 child so batch = push_cap loses nothing and avoids
+            # sorting rows that can never pop
+            pc = max(W_t, min(32768, (1 << 24) // max(W_t * W_t, 1)))
+            b = batch if batch is not None else pc
+        else:
+            b = batch if batch is not None else 8192
+            # the rem==3 inline edge count gathers [PC, W, WW] rows per
+            # round; bound PC so that tensor stays ~2^25 words (wide hub
+            # tiers trade pop width for not blowing HBM)
+            pc = max(W_t, min(2 * b, (1 << 25) // max(W_t * WW_t, 1)))
         cap = max(root_chunk, (1 << 23) // (WW_t + 1))
         ib = max(2048, (1 << 21) // W_t)
         return b, pc, cap, ib
