@@ -61,3 +61,14 @@ def test_small_root_chunk_partitioning():
     g = build_csr(random_graph(50, 0.3, 3), num_nodes=50)
     want = k_clique.kclique_count_oracle(g, 4)
     assert k_clique.kclique_count(g, 4, root_chunk=8) == want
+
+
+def test_wide_tier_e3_fallback():
+    # K_132 has core 131, so the k >= 6 fused path plans a W = 256 tier,
+    # exercising the rem==3 popcount branch that the MXU rem==4 inline
+    # (tri4, gated to W <= 128) does NOT take; every other test graph has
+    # core <= 65. Closed-form expected count avoids the oracle DFS.
+    from math import comb
+
+    g = build_csr(complete_graph_el(132))
+    assert k_clique.kclique_count(g, 6) == comb(132, 6)
